@@ -1,0 +1,186 @@
+"""Stage-2 model, option 2: GPT-2 dense-attention decoder.
+
+Capability parity with the reference ``MusicGPT2``
+(``stage2_accompaniment/model/music_gpt2.py``): the same embedding scheme as
+the Performer (scaled token embedding + segment embedding + interleaved
+sinusoidal positions), a stack of pre-LN GPT-2 blocks (HF ``GPT2Block``
+semantics: ln_1 -> causal attn (biased fused QKV, 1/sqrt(d_head) scaling) ->
+residual; ln_2 -> MLP with tanh-approximated GELU -> residual), **no** final
+layer norm (the reference stacks raw blocks without ``ln_f``,
+``music_gpt2.py:51,84-86``), and the output projection.
+
+TPU-first addition: a KV-cache decode path (``init_decode_cache`` /
+``decode_step``) replacing the reference's full re-forward of the last 2048
+tokens per generated token (``stage2_accompaniment/inference.py:250-257``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .embeddings import (
+    LayerNorm, TokenEmbedding, normal_init, sinusoid_position_encoding,
+)
+from .txl import masked_cross_entropy
+
+NEG_INF = -1e30
+
+
+class GPT2Block(nn.Module):
+    n_head: int
+    d_model: int
+    d_ff: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.n_head
+
+    def setup(self):
+        dense = lambda features: nn.Dense(
+            features, dtype=self.dtype, kernel_init=normal_init,
+            bias_init=nn.initializers.zeros)
+        self.ln_1 = LayerNorm(dtype=self.dtype)
+        self.c_attn = dense(3 * self.d_model)
+        self.attn_proj = dense(self.d_model)
+        self.ln_2 = LayerNorm(dtype=self.dtype)
+        self.c_fc = dense(self.d_ff)
+        self.mlp_proj = dense(self.d_model)
+        self.attn_drop = nn.Dropout(self.dropout)
+        self.resid_drop = nn.Dropout(self.dropout)
+        self.mlp_drop = nn.Dropout(self.dropout)
+
+    def _heads(self, x, L):
+        return x.reshape(x.shape[0], L, self.n_head, self.d_head)
+
+    def __call__(self, x, *, deterministic: bool):
+        B, L, _ = x.shape
+        h = self.ln_1(x)
+        q, k, v = jnp.split(self.c_attn(h), 3, axis=-1)
+        q, k, v = self._heads(q, L), self._heads(k, L), self._heads(v, L)
+
+        scale = 1.0 / (self.d_head ** 0.5)
+        scores = jnp.einsum('bihd,bjhd->bhij', q, k) * scale
+        mask = jnp.tril(jnp.ones((L, L), dtype=bool))
+        scores = jnp.where(mask[None, None], scores, NEG_INF)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        probs = self.attn_drop(probs, deterministic=deterministic)
+        attn = jnp.einsum('bhij,bjhd->bihd', probs, v).reshape(B, L, self.d_model)
+        x = x + self.resid_drop(self.attn_proj(attn), deterministic=deterministic)
+
+        h = self.ln_2(x)
+        h = nn.gelu(self.c_fc(h), approximate=True)
+        h = self.mlp_drop(self.mlp_proj(h), deterministic=deterministic)
+        return x + h
+
+    def decode_step(self, x, t, k_cache, v_cache):
+        """x [B,1,D]; k_cache/v_cache [B,Kmax,H,Dh]; causal over cache."""
+        B = x.shape[0]
+        Kmax = k_cache.shape[1]
+        h = self.ln_1(x)
+        q, k, v = jnp.split(self.c_attn(h), 3, axis=-1)
+        q = q.reshape(B, self.n_head, self.d_head)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k.reshape(B, 1, self.n_head, self.d_head), t, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v.reshape(B, 1, self.n_head, self.d_head), t, axis=1)
+
+        scale = 1.0 / (self.d_head ** 0.5)
+        scores = jnp.einsum('bhd,bjhd->bhj', q, k_cache) * scale
+        positions = jnp.arange(Kmax)
+        scores = jnp.where((positions > t)[None, None, :], NEG_INF, scores)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        attn = jnp.einsum('bhj,bjhd->bhd', probs, v_cache).reshape(B, 1, self.d_model)
+        x = x + self.attn_proj(attn)
+
+        h = self.ln_2(x)
+        h = nn.gelu(self.c_fc(h), approximate=True)
+        return x + self.mlp_proj(h), k_cache, v_cache
+
+
+class MusicGPT2(nn.Module):
+    """Stage-2 GPT-2 LM."""
+    n_token: int
+    n_layer: int = 12
+    n_head: int = 8
+    d_model: int = 512
+    d_ff: int = 2048
+    d_embed: int = 512
+    dropout: float = 0.1
+    use_segment_emb: bool = True
+    n_segment_types: int = 2
+    use_pe: bool = True
+    max_len: int = 4096
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.n_head
+
+    def setup(self):
+        self.token_emb = TokenEmbedding(
+            n_token=self.n_token, d_embed=self.d_embed, d_proj=self.d_model,
+            dtype=self.dtype)
+        if self.use_segment_emb:
+            self.segemb = TokenEmbedding(
+                n_token=self.n_segment_types, d_embed=self.d_embed,
+                d_proj=self.d_model, dtype=self.dtype)
+        self.emb_dropout = nn.Dropout(self.dropout)
+        self.blocks = [
+            GPT2Block(n_head=self.n_head, d_model=self.d_model, d_ff=self.d_ff,
+                      dropout=self.dropout, dtype=self.dtype, name=f'block_{i}')
+            for i in range(self.n_layer)
+        ]
+        self.out_proj = nn.Dense(self.n_token, dtype=jnp.float32,
+                                 kernel_init=normal_init,
+                                 bias_init=nn.initializers.zeros)
+
+    def __call__(self, tokens: jax.Array,
+                 seg_inp: Optional[jax.Array] = None,
+                 *, deterministic: bool = True,
+                 keep_last_only: bool = False) -> jax.Array:
+        emb = self.token_emb(tokens)
+        if seg_inp is not None and self.use_segment_emb:
+            emb = emb + self.segemb(seg_inp)
+        if self.use_pe:
+            pe = sinusoid_position_encoding(tokens.shape[1], self.d_embed)
+            emb = emb + pe[None].astype(emb.dtype)
+        h = self.emb_dropout(emb, deterministic=deterministic)
+        for block in self.blocks:
+            h = block(h, deterministic=deterministic)
+        logits = self.out_proj(h.astype(jnp.float32))
+        if keep_last_only:
+            logits = logits[:, -1, :]
+        return logits
+
+    # ------------------------------------------------------------ decode
+    def init_decode_cache(self, batch: int, max_klen: int) -> Dict[str, jax.Array]:
+        k = jnp.zeros((self.n_layer, batch, max_klen, self.n_head, self.d_head),
+                      dtype=self.dtype)
+        return {'k': k, 'v': jnp.zeros_like(k)}
+
+    def decode_step(self, token: jax.Array, seg: jax.Array, t: jax.Array,
+                    cache: Dict[str, jax.Array],
+                    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        emb = self.token_emb(token[:, None])
+        if self.use_segment_emb:
+            emb = emb + self.segemb(seg[:, None])
+        if self.use_pe:
+            pe = sinusoid_position_encoding(self.max_len, self.d_embed)
+            emb = emb + jax.lax.dynamic_slice_in_dim(pe, t, 1, axis=0)[None]
+        h = emb
+        ks, vs = [], []
+        for i, block in enumerate(self.blocks):
+            h, k_c, v_c = block.decode_step(h, t, cache['k'][i], cache['v'][i])
+            ks.append(k_c)
+            vs.append(v_c)
+        logits = self.out_proj(h.astype(jnp.float32))[:, 0]
+        return logits, {'k': jnp.stack(ks), 'v': jnp.stack(vs)}
+
+    def compute_loss(self, logits, targets):
+        return masked_cross_entropy(logits, targets, self.n_token - 1)

@@ -1,0 +1,204 @@
+"""Stage-2 model, option 1: Performer (FAVOR+ causal linear attention).
+
+Capability parity with the reference ``MusicPerformer`` +
+``FastTransformerDecoder`` (``stage2_accompaniment/model/music_performer.py``,
+``fast_transformer_decoder.py``): token embedding scaled by sqrt(d),
+additive segment embedding over the 2-valued track mask, interleaved
+sinusoidal absolute positions, 12 post-norm layers of
+attn -> add -> norm1 -> FF -> add -> norm2 with biased q/k/v/out projections
+(fast_transformers ``AttentionLayer``/``TransformerEncoderLayer``).
+
+The attention core is this framework's Pallas causal linear-attention kernel
+(:mod:`..ops.linear_attention`) instead of the CUDA ``causal_product`` op.
+The FAVOR+ feature matrices ``omega`` are explicit inputs (one per layer),
+mirroring the reference's redraw-probability training scheme
+(``train.py:57``, ``feat_redraw_prob``) and its checkpoint convention of
+stripping ``feature_map.omega`` (``train.py:306-308``).
+
+Decode carries per-layer (S, z) linear-attention state: O(1) per token where
+the reference re-encodes the whole 2048-token window per token
+(``stage2_accompaniment/inference.py:250-272``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .embeddings import (
+    LayerNorm, TokenEmbedding, normal_init, sinusoid_position_encoding,
+)
+from .txl import masked_cross_entropy
+from ..ops.linear_attention import (
+    causal_linear_attention, draw_orthogonal_features, favor_features,
+    linear_attention_decode_step,
+)
+
+
+class PerformerLayer(nn.Module):
+    n_head: int
+    d_model: int
+    d_ff: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.n_head
+
+    def setup(self):
+        dense = lambda features: nn.Dense(
+            features, dtype=self.dtype, kernel_init=normal_init,
+            bias_init=nn.initializers.zeros)
+        self.q_proj = dense(self.d_model)
+        self.k_proj = dense(self.d_model)
+        self.v_proj = dense(self.d_model)
+        self.out_proj = dense(self.d_model)
+        self.linear1 = dense(self.d_ff)
+        self.linear2 = dense(self.d_model)
+        self.norm1 = LayerNorm(dtype=self.dtype)
+        self.norm2 = LayerNorm(dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout)
+
+    def _heads(self, x):
+        B, L, _ = x.shape
+        return x.reshape(B, L, self.n_head, self.d_head).swapaxes(1, 2)
+
+    def __call__(self, x, omega, *, deterministic: bool):
+        """x [B, L, D]; omega [d_head, M]."""
+        q = self._heads(self.q_proj(x))                       # [B,H,L,Dh]
+        k = self._heads(self.k_proj(x))
+        v = self._heads(self.v_proj(x))
+        phi_q = favor_features(q, omega, is_query=True)
+        phi_k = favor_features(k, omega, is_query=False)
+        attn = causal_linear_attention(phi_q, phi_k, v.astype(jnp.float32))
+        attn = attn.astype(x.dtype).swapaxes(1, 2).reshape(x.shape)
+        x = x + self.drop(self.out_proj(attn), deterministic=deterministic)
+
+        y = x = self.norm1(x)
+        y = self.drop(nn.relu(self.linear1(y)), deterministic=deterministic)
+        y = self.drop(self.linear2(y), deterministic=deterministic)
+        return self.norm2(x + y)
+
+    def decode_step(self, x, omega, S, z):
+        """x [B, 1, D]; carried S [B,H,M,Dh], z [B,H,M]."""
+        B = x.shape[0]
+        q = self.q_proj(x).reshape(B, self.n_head, self.d_head)
+        k = self.k_proj(x).reshape(B, self.n_head, self.d_head)
+        v = self.v_proj(x).reshape(B, self.n_head, self.d_head)
+        phi_q = favor_features(q, omega, is_query=True)
+        phi_k = favor_features(k, omega, is_query=False, key_stabilizer=0.0)
+        attn, S, z = linear_attention_decode_step(
+            phi_q, phi_k, v.astype(jnp.float32), S, z)
+        attn = attn.astype(x.dtype).reshape(B, 1, self.d_model)
+        x = x + self.out_proj(attn)
+        y = x = self.norm1(x)
+        y = nn.relu(self.linear1(y))
+        y = self.linear2(y)
+        return self.norm2(x + y), S, z
+
+
+class MusicPerformer(nn.Module):
+    """Stage-2 Performer LM."""
+    n_token: int
+    n_layer: int = 12
+    n_head: int = 8
+    d_model: int = 512
+    d_ff: int = 2048
+    d_embed: int = 512
+    dropout: float = 0.1
+    favor_dims: int = 128
+    use_segment_emb: bool = True
+    n_segment_types: int = 2
+    use_pe: bool = True
+    max_len: int = 12000
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.n_head
+
+    def setup(self):
+        self.token_emb = TokenEmbedding(
+            n_token=self.n_token, d_embed=self.d_embed, d_proj=self.d_model,
+            dtype=self.dtype)
+        if self.use_segment_emb:
+            self.segemb = TokenEmbedding(
+                n_token=self.n_segment_types, d_embed=self.d_embed,
+                d_proj=self.d_model, dtype=self.dtype)
+        self.emb_dropout = nn.Dropout(self.dropout)
+        self.layers = [
+            PerformerLayer(n_head=self.n_head, d_model=self.d_model,
+                           d_ff=self.d_ff, dropout=self.dropout,
+                           dtype=self.dtype, name=f'layer_{i}')
+            for i in range(self.n_layer)
+        ]
+        self.out_proj = nn.Dense(self.n_token, dtype=jnp.float32,
+                                 kernel_init=normal_init,
+                                 bias_init=nn.initializers.zeros)
+
+    def draw_omegas(self, key: jax.Array) -> jax.Array:
+        """Per-layer FAVOR+ feature matrices [n_layer, d_head, M]."""
+        keys = jax.random.split(key, self.n_layer)
+        return jnp.stack([
+            draw_orthogonal_features(keys[i], self.d_head, self.favor_dims)
+            for i in range(self.n_layer)])
+
+    def _embed(self, tokens, seg_inp, offset=0, *, deterministic=True):
+        emb = self.token_emb(tokens)
+        if seg_inp is not None and self.use_segment_emb:
+            emb = emb + self.segemb(seg_inp)
+        if self.use_pe:
+            pe = sinusoid_position_encoding(tokens.shape[1], self.d_embed,
+                                            offset=offset)
+            emb = emb + pe[None].astype(emb.dtype)
+        return self.emb_dropout(emb, deterministic=deterministic)
+
+    def __call__(self, tokens: jax.Array, omegas: jax.Array,
+                 seg_inp: Optional[jax.Array] = None,
+                 *, deterministic: bool = True,
+                 keep_last_only: bool = False) -> jax.Array:
+        """tokens [B, L], omegas [n_layer, d_head, M] -> logits [B, L, V]."""
+        h = self._embed(tokens, seg_inp, deterministic=deterministic)
+        for i, layer in enumerate(self.layers):
+            h = layer(h, omegas[i], deterministic=deterministic)
+        logits = self.out_proj(h.astype(jnp.float32))
+        if keep_last_only:
+            logits = logits[:, -1, :]
+        return logits
+
+    # ------------------------------------------------------------ decode
+    def init_decode_state(self, batch: int) -> Dict[str, jax.Array]:
+        return {
+            'S': jnp.zeros((self.n_layer, batch, self.n_head,
+                            self.favor_dims, self.d_head), dtype=jnp.float32),
+            'z': jnp.zeros((self.n_layer, batch, self.n_head, self.favor_dims),
+                           dtype=jnp.float32),
+        }
+
+    def decode_step(self, token: jax.Array, seg: jax.Array, t: jax.Array,
+                    omegas: jax.Array, state: Dict[str, jax.Array],
+                    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """token/seg [B] int32, t scalar -> (logits [B, V], state)."""
+        emb = self.token_emb(token[:, None])
+        if self.use_segment_emb:
+            emb = emb + self.segemb(seg[:, None])
+        if self.use_pe:
+            pe = sinusoid_position_encoding(self.max_len, self.d_embed)
+            emb = emb + jax.lax.dynamic_slice_in_dim(pe, t, 1, axis=0)[None]
+        h = emb
+        Ss, zs = [], []
+        for i, layer in enumerate(self.layers):
+            h, S, z = layer.decode_step(h, omegas[i], state['S'][i], state['z'][i])
+            Ss.append(S)
+            zs.append(z)
+        logits = self.out_proj(h.astype(jnp.float32))[:, 0]
+        return logits, {'S': jnp.stack(Ss), 'z': jnp.stack(zs)}
+
+    def compute_loss(self, logits, targets):
+        """CE ignoring PAD (= n_token - 1), reference
+        ``music_performer.py:72-81``."""
+        return masked_cross_entropy(logits, targets, self.n_token - 1)

@@ -1,0 +1,261 @@
+"""Causal linear attention (FAVOR+) for the Performer backbone.
+
+The reference reaches this op through the ``pytorch-fast-transformers``
+C++/CUDA ``causal_product`` kernel (``fast_transformer_decoder.py:28-34``,
+feature map ``Favor.factory(n_dims=128)``).  Here the op is TPU-native:
+
+* :func:`favor_features` — FAVOR+ positive softmax-kernel features
+  phi(x) = exp(w^T x' - ||x'||^2/2) / sqrt(m) with x' = x * d^{-1/4} and
+  orthogonal Gaussian features ``omega`` (chi-scaled rows);
+* :func:`causal_linear_attention` — the causal prefix-sum
+  out_i = phi(q_i)^T (sum_{j<=i} phi(k_j) v_j^T) / (phi(q_i)^T sum phi(k_j)),
+  as a Pallas TPU kernel (chunked running-state scan in VMEM) with a
+  pure-JAX chunked ``lax.scan`` used for autodiff and as CPU fallback;
+* :func:`linear_attention_decode_step` — O(1)-per-token decode carrying the
+  (S = sum phi(k) v^T, z = sum phi(k)) state.
+
+Numerics: all accumulation in float32; stabilizers cancel exactly in the
+normalization (per-query-position max for q; one global max per batch*head
+for k), so every implementation computes the same function.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-6
+
+
+# ---------------------------------------------------------------------------
+# FAVOR+ feature map
+# ---------------------------------------------------------------------------
+
+def draw_orthogonal_features(key: jax.Array, d_head: int, n_dims: int) -> jax.Array:
+    """Draw the FAVOR+ random-feature matrix omega [d_head, n_dims]:
+    blocks of orthogonalized Gaussians with chi-distributed row norms."""
+    n_blocks = -(-n_dims // d_head)
+    keys = jax.random.split(key, n_blocks + 1)
+    blocks = []
+    for i in range(n_blocks):
+        g = jax.random.normal(keys[i], (d_head, d_head), dtype=jnp.float32)
+        q, _ = jnp.linalg.qr(g)
+        blocks.append(q.T)
+    w = jnp.concatenate(blocks, axis=0)[:n_dims]          # [n_dims, d_head]
+    norms = jnp.sqrt(jnp.sum(
+        jax.random.normal(keys[-1], (n_dims, d_head), dtype=jnp.float32) ** 2,
+        axis=-1, keepdims=True))
+    return (w * norms).T                                   # [d_head, n_dims]
+
+
+def favor_features(x: jax.Array, omega: jax.Array, *, is_query: bool,
+                   key_stabilizer: Optional[jax.Array] = None) -> jax.Array:
+    """phi(x) for x [..., L, D] -> [..., L, M] (float32).
+
+    Stabilization: queries subtract their per-position max over features
+    (cancels between numerator and denominator); keys subtract one scalar per
+    batch*head (``key_stabilizer``; also cancels).  Pass ``key_stabilizer=0``
+    during decode so the running state stays on a consistent scale.
+    """
+    x = x.astype(jnp.float32)
+    scale = x.shape[-1] ** -0.25
+    xs = x * scale
+    u = xs @ omega.astype(jnp.float32)                       # [..., L, M]
+    sq = 0.5 * jnp.sum(xs * xs, axis=-1, keepdims=True)      # [..., L, 1]
+    h = u - sq
+    if is_query:
+        h = h - jax.lax.stop_gradient(jnp.max(h, axis=-1, keepdims=True))
+    elif key_stabilizer is None:
+        g = jax.lax.stop_gradient(jnp.max(h, axis=(-2, -1), keepdims=True))
+        h = h - g
+    else:
+        h = h - key_stabilizer
+    return jnp.exp(h) / jnp.sqrt(omega.shape[-1]).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# reference (quadratic) implementation — used in tests
+# ---------------------------------------------------------------------------
+
+def causal_linear_attention_ref(phi_q: jax.Array, phi_k: jax.Array,
+                                v: jax.Array, eps: float = EPS) -> jax.Array:
+    """O(L^2) masked einsum; ground truth for kernel equivalence tests.
+    Shapes: phi_q/phi_k [..., L, M], v [..., L, Dv]."""
+    scores = jnp.einsum('...im,...jm->...ij', phi_q, phi_k)
+    L = scores.shape[-1]
+    mask = jnp.tril(jnp.ones((L, L), dtype=bool))
+    scores = jnp.where(mask, scores, 0.0)
+    num = jnp.einsum('...ij,...jd->...id', scores, v)
+    den = jnp.sum(scores, axis=-1, keepdims=True)
+    return num / (den + eps)
+
+
+# ---------------------------------------------------------------------------
+# chunked lax.scan implementation — differentiable, CPU-safe
+# ---------------------------------------------------------------------------
+
+def _scan_impl(phi_q: jax.Array, phi_k: jax.Array, v: jax.Array,
+               chunk: int, eps: float) -> jax.Array:
+    """[B*H, L, M] x [B*H, L, Dv] -> [B*H, L, Dv]; L must divide by chunk."""
+    bh, L, M = phi_q.shape
+    Dv = v.shape[-1]
+    n_chunks = L // chunk
+    qc = phi_q.reshape(bh, n_chunks, chunk, M).swapaxes(0, 1)
+    kc = phi_k.reshape(bh, n_chunks, chunk, M).swapaxes(0, 1)
+    vc = v.reshape(bh, n_chunks, chunk, Dv).swapaxes(0, 1)
+    tri = jnp.tril(jnp.ones((chunk, chunk), dtype=phi_q.dtype))
+
+    def step(carry, inputs):
+        S, z = carry                                  # [bh, M, Dv], [bh, M]
+        q, k, vv = inputs
+        intra = jnp.einsum('bim,bjm->bij', q, k) * tri
+        num = jnp.einsum('bij,bjd->bid', intra, vv) + jnp.einsum('bim,bmd->bid', q, S)
+        den = jnp.sum(intra, axis=-1) + jnp.einsum('bim,bm->bi', q, z)
+        out = num / (den[..., None] + eps)
+        S = S + jnp.einsum('bjm,bjd->bmd', k, vv)
+        z = z + jnp.sum(k, axis=1)
+        return (S, z), out
+
+    S0 = jnp.zeros((bh, M, Dv), dtype=jnp.float32)
+    z0 = jnp.zeros((bh, M), dtype=jnp.float32)
+    _, outs = jax.lax.scan(step, (S0, z0), (qc, kc, vc))
+    return outs.swapaxes(0, 1).reshape(bh, L, Dv)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+def _pallas_kernel(q_ref, k_ref, v_ref, o_ref, s_scratch, z_scratch, *,
+                   chunk: int, eps: float):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        s_scratch[...] = jnp.zeros_like(s_scratch)
+        z_scratch[...] = jnp.zeros_like(z_scratch)
+
+    q = q_ref[0].astype(jnp.float32)                  # [C, M]
+    k = k_ref[0].astype(jnp.float32)                  # [C, M]
+    v = v_ref[0].astype(jnp.float32)                  # [C, Dv]
+    S = s_scratch[...]                                # [M, Dv]
+    z = z_scratch[...]                                # [1, M]
+
+    intra = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    intra = jnp.where(row >= col, intra, 0.0)
+
+    num = (jnp.dot(intra, v, preferred_element_type=jnp.float32)
+           + jnp.dot(q, S, preferred_element_type=jnp.float32))
+    den = (jnp.sum(intra, axis=-1, keepdims=True)
+           + jnp.dot(q, z[0][:, None], preferred_element_type=jnp.float32))
+    o_ref[0] = (num / (den + eps)).astype(o_ref.dtype)
+
+    s_scratch[...] = S + jnp.dot(k.T, v, preferred_element_type=jnp.float32)
+    z_scratch[...] = z + jnp.sum(k, axis=0, keepdims=True)
+
+
+def _pallas_impl(phi_q: jax.Array, phi_k: jax.Array, v: jax.Array,
+                 chunk: int, eps: float) -> jax.Array:
+    bh, L, M = phi_q.shape
+    Dv = v.shape[-1]
+    grid = (bh, L // chunk)
+    blk = lambda _c: pl.BlockSpec((1, chunk, _c), lambda i, j: (i, j, 0),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_pallas_kernel, chunk=chunk, eps=eps),
+        grid=grid,
+        in_specs=[blk(M), blk(M), blk(Dv)],
+        out_specs=blk(Dv),
+        out_shape=jax.ShapeDtypeStruct((bh, L, Dv), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((M, Dv), jnp.float32),
+            pltpu.VMEM((1, M), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(phi_q, phi_k, v)
+
+
+# ---------------------------------------------------------------------------
+# public op: pallas forward on TPU, scan-based backward
+# ---------------------------------------------------------------------------
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == 'tpu'
+
+
+def _padded_call(impl, phi_q, phi_k, v, chunk, eps):
+    """Flatten leading dims to B*H, pad L to a chunk multiple, call, unpad."""
+    *lead, L, M = phi_q.shape
+    Dv = v.shape[-1]
+    bh = 1
+    for s in lead:
+        bh *= s
+    q2 = phi_q.reshape(bh, L, M)
+    k2 = phi_k.reshape(bh, L, M)
+    v2 = v.reshape(bh, L, Dv)
+    pad = (-L) % chunk
+    if pad:
+        q2 = jnp.pad(q2, ((0, 0), (0, pad), (0, 0)))
+        k2 = jnp.pad(k2, ((0, 0), (0, pad), (0, 0)))
+        v2 = jnp.pad(v2, ((0, 0), (0, pad), (0, 0)))
+    out = impl(q2, k2, v2, chunk, eps)
+    if pad:
+        out = out[:, :L]
+    return out.reshape(*lead, L, Dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def causal_linear_attention(phi_q: jax.Array, phi_k: jax.Array, v: jax.Array,
+                            chunk: int = 128, eps: float = EPS) -> jax.Array:
+    """Normalized causal linear attention.
+
+    phi_q, phi_k: [..., L, M] non-negative features; v: [..., L, Dv].
+    Returns [..., L, Dv] float32.
+    """
+    impl = _pallas_impl if _use_pallas() else _scan_impl
+    return _padded_call(impl, phi_q, phi_k, v, chunk, eps)
+
+
+def _cla_fwd(phi_q, phi_k, v, chunk, eps):
+    out = causal_linear_attention(phi_q, phi_k, v, chunk, eps)
+    return out, (phi_q, phi_k, v)
+
+
+def _cla_bwd(chunk, eps, residuals, g):
+    phi_q, phi_k, v = residuals
+    # recompute through the differentiable scan implementation
+    _, vjp = jax.vjp(
+        lambda q, k, vv: _padded_call(_scan_impl, q, k, vv, chunk, eps),
+        phi_q, phi_k, v)
+    return vjp(g)
+
+
+causal_linear_attention.defvjp(_cla_fwd, _cla_bwd)
+
+
+# ---------------------------------------------------------------------------
+# decode: O(1) carried state
+# ---------------------------------------------------------------------------
+
+def linear_attention_decode_step(
+    phi_q: jax.Array,          # [..., M]   features of the current query
+    phi_k: jax.Array,          # [..., M]   features of the current key
+    v: jax.Array,              # [..., Dv]
+    S: jax.Array,              # [..., M, Dv] running sum phi(k) v^T
+    z: jax.Array,              # [..., M]     running sum phi(k)
+    eps: float = EPS,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One causal step (current token included): returns (out, S', z')."""
+    S = S + phi_k[..., :, None] * v[..., None, :]
+    z = z + phi_k
+    num = jnp.einsum('...m,...md->...d', phi_q, S)
+    den = jnp.einsum('...m,...m->...', phi_q, z)
+    return num / (den[..., None] + eps), S, z

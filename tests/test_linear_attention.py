@@ -1,0 +1,117 @@
+"""Linear-attention op: scan/pallas vs naive einsum, decode-state parity,
+gradient checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from emo_disentanger_tpu.ops.linear_attention import (
+    causal_linear_attention, causal_linear_attention_ref, _scan_impl,
+    draw_orthogonal_features, favor_features, linear_attention_decode_step,
+)
+
+
+def _random_features(key, B=2, H=3, L=100, M=32, Dv=16):
+    k1, k2, k3 = jax.random.split(key, 3)
+    phi_q = jax.random.uniform(k1, (B, H, L, M), minval=0.01, maxval=1.0)
+    phi_k = jax.random.uniform(k2, (B, H, L, M), minval=0.01, maxval=1.0)
+    v = jax.random.normal(k3, (B, H, L, Dv))
+    return phi_q, phi_k, v
+
+
+def test_scan_matches_ref(rng_key):
+    phi_q, phi_k, v = _random_features(rng_key)
+    ref = causal_linear_attention_ref(phi_q, phi_k, v)
+    out = causal_linear_attention(phi_q, phi_k, v, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_scan_odd_length(rng_key):
+    # length not a multiple of the chunk exercises padding
+    phi_q, phi_k, v = _random_features(rng_key, L=37)
+    ref = causal_linear_attention_ref(phi_q, phi_k, v)
+    out = causal_linear_attention(phi_q, phi_k, v, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_decode_state_matches_parallel(rng_key):
+    phi_q, phi_k, v = _random_features(rng_key, B=1, H=2, L=20, M=8, Dv=4)
+    ref = causal_linear_attention_ref(phi_q, phi_k, v)
+
+    S = jnp.zeros((1, 2, 8, 4))
+    z = jnp.zeros((1, 2, 8))
+    outs = []
+    for t in range(20):
+        o, S, z = linear_attention_decode_step(
+            phi_q[:, :, t], phi_k[:, :, t], v[:, :, t], S, z)
+        outs.append(o)
+    got = jnp.stack(outs, axis=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_gradients_flow(rng_key):
+    phi_q, phi_k, v = _random_features(rng_key, B=1, H=1, L=32, M=8, Dv=4)
+
+    def loss_op(q, k, vv):
+        return jnp.sum(causal_linear_attention(q, k, vv, 16) ** 2)
+
+    def loss_ref(q, k, vv):
+        return jnp.sum(causal_linear_attention_ref(q, k, vv) ** 2)
+
+    g_op = jax.grad(loss_op, argnums=(0, 1, 2))(phi_q, phi_k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(phi_q, phi_k, v)
+    for a, b in zip(g_op, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_orthogonal_features_shape_and_orthogonality(rng_key):
+    omega = draw_orthogonal_features(rng_key, 16, 32)
+    assert omega.shape == (16, 32)
+    # rows within a block are orthogonal: w_i . w_j / (|w_i||w_j|) ~ 0
+    w = np.asarray(omega).T           # [32, 16]
+    blk = w[:16]
+    normed = blk / np.linalg.norm(blk, axis=1, keepdims=True)
+    gram = normed @ normed.T
+    np.testing.assert_allclose(gram, np.eye(16), atol=1e-5)
+
+
+def test_favor_stabilizers_cancel(rng_key):
+    """Stabilized and unstabilized features give the same normalized output."""
+    k1, k2, k3 = jax.random.split(rng_key, 3)
+    q = jax.random.normal(k1, (1, 2, 24, 8))
+    k = jax.random.normal(k2, (1, 2, 24, 8))
+    v = jax.random.normal(k3, (1, 2, 24, 4))
+    omega = draw_orthogonal_features(rng_key, 8, 16)
+
+    out_stab = causal_linear_attention_ref(
+        favor_features(q, omega, is_query=True),
+        favor_features(k, omega, is_query=False), v)
+    # raw: no stabilization at all
+    def raw(x):
+        xs = x * (x.shape[-1] ** -0.25)
+        u = xs @ omega
+        return jnp.exp(u - 0.5 * jnp.sum(xs * xs, -1, keepdims=True)) / jnp.sqrt(16)
+    out_raw = causal_linear_attention_ref(raw(q), raw(k), v)
+    np.testing.assert_allclose(np.asarray(out_stab), np.asarray(out_raw),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_favor_approximates_softmax(rng_key):
+    """With many features, FAVOR+ attention approaches causal softmax attention."""
+    k1, k2, k3, k4 = jax.random.split(rng_key, 4)
+    d = 8
+    q = jax.random.normal(k1, (1, 1, 16, d)) * 0.5
+    k = jax.random.normal(k2, (1, 1, 16, d)) * 0.5
+    v = jax.random.normal(k3, (1, 1, 16, 4))
+    omega = draw_orthogonal_features(k4, d, 2048)
+
+    out = causal_linear_attention_ref(
+        favor_features(q, omega, is_query=True),
+        favor_features(k, omega, is_query=False), v)
+
+    scores = jnp.einsum('bhid,bhjd->bhij', q, k) / jnp.sqrt(d)
+    mask = jnp.tril(jnp.ones((16, 16), dtype=bool))
+    scores = jnp.where(mask, scores, -1e30)
+    exact = jnp.einsum('bhij,bhjd->bhid', jax.nn.softmax(scores, -1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(exact), atol=0.15)
