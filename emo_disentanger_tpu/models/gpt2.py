@@ -58,7 +58,7 @@ class GPT2Block(nn.Module):
     def _heads(self, x, L):
         return x.reshape(x.shape[0], L, self.n_head, self.d_head)
 
-    def __call__(self, x, *, deterministic: bool):
+    def __call__(self, x, *, deterministic: bool, return_kv: bool = False):
         B, L, _ = x.shape
         h = self.ln_1(x)
         q, k, v = jnp.split(self.c_attn(h), 3, axis=-1)
@@ -76,7 +76,10 @@ class GPT2Block(nn.Module):
         h = self.ln_2(x)
         h = nn.gelu(self.c_fc(h), approximate=True)
         h = self.mlp_drop(self.mlp_proj(h), deterministic=deterministic)
-        return x + h
+        out = x + h
+        if return_kv:
+            return out, k, v
+        return out
 
     def decode_step(self, x, t, k_cache, v_cache):
         """x [B,1,D]; k_cache/v_cache [B,Kmax,H,Dh]; causal over cache."""
@@ -143,7 +146,11 @@ class MusicGPT2(nn.Module):
     def __call__(self, tokens: jax.Array,
                  seg_inp: Optional[jax.Array] = None,
                  *, deterministic: bool = True,
-                 keep_last_only: bool = False) -> jax.Array:
+                 keep_last_only: bool = False,
+                 return_kv: bool = False) -> jax.Array:
+        """``return_kv=True`` additionally returns per-layer K/V stacks
+        [n_layer, B, L, H, Dh] — used to (re)build the decode cache from a
+        single parallel forward (prefill / window re-anchoring)."""
         emb = self.token_emb(tokens)
         if seg_inp is not None and self.use_segment_emb:
             emb = emb + self.segemb(seg_inp)
@@ -151,11 +158,19 @@ class MusicGPT2(nn.Module):
             pe = sinusoid_position_encoding(tokens.shape[1], self.d_embed)
             emb = emb + pe[None].astype(emb.dtype)
         h = self.emb_dropout(emb, deterministic=deterministic)
+        ks, vs = [], []
         for block in self.blocks:
-            h = block(h, deterministic=deterministic)
+            if return_kv:
+                h, k, v = block(h, deterministic=deterministic, return_kv=True)
+                ks.append(k)
+                vs.append(v)
+            else:
+                h = block(h, deterministic=deterministic)
         logits = self.out_proj(h.astype(jnp.float32))
         if keep_last_only:
             logits = logits[:, -1, :]
+        if return_kv:
+            return logits, jnp.stack(ks), jnp.stack(vs)
         return logits
 
     # ------------------------------------------------------------ decode

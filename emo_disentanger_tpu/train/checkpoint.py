@@ -1,0 +1,63 @@
+"""Checkpointing: orbax save/load with the reference's naming convention.
+
+The reference saves ``ep{N:03d}_loss{L:.3f}_params.pt`` / ``_optim.pt`` per
+interval (``stage1_compose/train.py:317-323``).  Here each checkpoint is an
+orbax directory ``ep{N:03d}_loss{L:.3f}`` holding params (and optionally the
+optimizer state for resume), plus a small JSON manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+CKPT_RE = re.compile(r'ep(\d+)_loss([\d.]+?)(?:_params(?:\.pt)?)?$')
+
+
+def checkpoint_name(epoch: int, loss: float) -> str:
+    return 'ep{:03d}_loss{:.3f}'.format(epoch, loss)
+
+
+def save_checkpoint(ckpt_dir: str, epoch: int, loss: float, params: Any,
+                    opt_state: Optional[Any] = None,
+                    extra: Optional[Dict] = None) -> str:
+    path = os.path.abspath(os.path.join(ckpt_dir, checkpoint_name(epoch, loss)))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, 'params'), params)
+        if opt_state is not None:
+            ckptr.save(os.path.join(path, 'optim'), opt_state)
+    manifest = {'epoch': epoch, 'loss': float(loss)}
+    manifest.update(extra or {})
+    with open(os.path.join(path, 'manifest.json'), 'w') as f:
+        json.dump(manifest, f)
+    return path
+
+
+def load_checkpoint(path: str, params_template: Any,
+                    opt_template: Optional[Any] = None) -> Tuple[Any, Optional[Any]]:
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        params = ckptr.restore(os.path.join(path, 'params'), params_template)
+        opt_state = None
+        if opt_template is not None and os.path.isdir(os.path.join(path, 'optim')):
+            opt_state = ckptr.restore(os.path.join(path, 'optim'), opt_template)
+    return params, opt_state
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    best_ep = -1
+    for name in os.listdir(ckpt_dir):
+        m = CKPT_RE.match(name)
+        if m and int(m.group(1)) > best_ep:
+            best_ep = int(m.group(1))
+            best = os.path.join(ckpt_dir, name)
+    return best
