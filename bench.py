@@ -1,0 +1,96 @@
+"""Benchmark: stage-2 Performer decode throughput on one chip.
+
+Measures this framework's O(1)-state decode (per-layer FAVOR+ (S, z) carry,
+Pallas/XLA kernels) against an in-framework reimplementation of the
+reference's decode strategy — a full re-forward of the last-2048-token window
+per generated token (``stage2_accompaniment/inference.py:250-257``) — on the
+SAME chip, so ``vs_baseline`` is an apples-to-apples algorithmic speedup.
+
+Prints one JSON line:
+  {"metric": ..., "value": tokens/sec/chip, "unit": ..., "vs_baseline": x}
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+VOCAB = 360
+DECODE_STEPS = 512
+WINDOW = 2048
+
+
+def build_model():
+    from emo_disentanger_tpu.models import MusicPerformer
+    model = MusicPerformer(n_token=VOCAB, n_layer=12, n_head=8, d_model=512,
+                           d_ff=2048, d_embed=512, dropout=0.1, favor_dims=128,
+                           use_segment_emb=True, n_segment_types=2)
+    omegas = model.draw_omegas(jax.random.PRNGKey(1))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.ones((1, 8), dtype=jnp.int32), omegas,
+                        jnp.zeros((1, 8), dtype=jnp.int32))
+    return model, params, omegas
+
+
+def bench_state_decode(model, params, omegas, n_steps=DECODE_STEPS):
+    """Our decode: greedy scan over decode_step with carried (S, z)."""
+    from emo_disentanger_tpu.models.performer import MusicPerformer
+
+    def run(tok0):
+        state = model.apply(params, 1, method=MusicPerformer.init_decode_state)
+
+        def step(carry, t):
+            tok, state = carry
+            logits, state = model.apply(params, tok, jnp.zeros_like(tok), t,
+                                        omegas, state,
+                                        method=MusicPerformer.decode_step)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (tok, state), tok
+
+        (_, _), toks = jax.lax.scan(step, (tok0, state),
+                                    jnp.arange(n_steps, dtype=jnp.int32))
+        return toks
+
+    run_j = jax.jit(run)
+    tok0 = jnp.ones((1,), dtype=jnp.int32)
+    run_j(tok0).block_until_ready()                 # compile
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run_j(tok0).block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return n_steps / dt
+
+
+def bench_reference_style(model, params, omegas, ctx_len=WINDOW, n_tokens=8):
+    """Reference decode cost: one full forward of the context window per
+    token, keep_last_only (no cache)."""
+    def one_token(tokens):
+        return model.apply(params, tokens, omegas,
+                           jnp.zeros_like(tokens), keep_last_only=True)
+
+    fwd = jax.jit(one_token)
+    tokens = jnp.ones((1, ctx_len), dtype=jnp.int32)
+    fwd(tokens).block_until_ready()                 # compile
+    t0 = time.perf_counter()
+    for _ in range(n_tokens):
+        fwd(tokens).block_until_ready()
+    dt = (time.perf_counter() - t0) / n_tokens
+    return 1.0 / dt
+
+
+def main():
+    model, params, omegas = build_model()
+    ours = bench_state_decode(model, params, omegas)
+    ref = bench_reference_style(model, params, omegas)
+    print(json.dumps({
+        'metric': 'stage2 Performer decode throughput (12L/512d, greedy, B=1)',
+        'value': round(ours, 2),
+        'unit': 'tokens/sec/chip',
+        'vs_baseline': round(ours / ref, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,36 @@
+"""CLI: stage-2 generation (reference
+``stage2_accompaniment/inference.py:330-355``): ``-m``, ``-c``, ``-r``,
+``-i``, ``-o``, ``-p``."""
+
+import argparse
+
+from .train_stage2 import resolve_config
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description='stage-2 (embellish) generation')
+    required = parser.add_argument_group('required arguments')
+    required.add_argument('-m', '--model_type', required=True,
+                          choices=['performer', 'gpt2'])
+    required.add_argument('-c', '--configuration', required=True)
+    required.add_argument('-r', '--representation', required=True,
+                          choices=['remi', 'functional'])
+    parser.add_argument('-i', '--inference_params',
+                        default='best_weight/Functional-two/'
+                                'emopia_acccompaniment_finetune/ep300_loss0.338_params.pt')
+    parser.add_argument('-o', '--output_dir',
+                        default='generation/emopia_functional_two')
+    parser.add_argument('-p', '--play_midi', default=False, action='store_true')
+    parser.add_argument('--seed', type=int, default=0)
+    args = parser.parse_args(argv)
+
+    from ..infer import run_stage2
+    return run_stage2.run(resolve_config(args.configuration),
+                          args.representation, args.model_type,
+                          inference_params=args.inference_params,
+                          output_dir=args.output_dir,
+                          play_midi=args.play_midi, seed=args.seed)
+
+
+if __name__ == '__main__':
+    main()

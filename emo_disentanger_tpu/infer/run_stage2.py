@@ -1,0 +1,101 @@
+"""Stage-2 inference driver (reference: ``stage2_accompaniment/inference.py``
+``__main__``): glob the stage-1 output dir for ``*_roman.txt`` (functional) /
+``*.txt`` (REMI) lead sheets, map the valence label to arousal quadrants
+(Positive -> Q1/Q4, Negative -> Q2/Q3), generate the full performance per
+quadrant with the Performer or GPT-2 backbone, and render ``*_full.mid``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from itertools import chain
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..core.vocab import Vocab
+from ..utils.io import load_yaml
+from ..train.train_stage2 import build_model_and_params, load_pretrained_params
+from .stage2 import Stage2Generator
+from .convert2midi import events_to_midi
+from .pipeline import (
+    emotion_candidates_for_file, extract_midi_events_from_generation,
+    read_generated_events, events_to_txt,
+)
+
+MAX_BARS = 128
+SAMPLING = {
+    # reference inference.py:395,404
+    'performer': dict(temp=1.1, top_p=0.99),
+    'gpt2': dict(temp=1.2, top_p=0.97),
+}
+
+
+def run(config_path: str, representation: str, model_type: str, *,
+        inference_params: str, output_dir: str, play_midi: bool = False,
+        seed: int = 0, max_events: int = 10000,
+        max_bars_override: Optional[int] = None) -> dict:
+    config = load_yaml(config_path)
+    functional = representation == 'functional'
+    samp = SAMPLING[model_type]
+
+    vocab = Vocab.load(config['data_loader']['vocab_path'].format(representation))
+    model, params, omegas = build_model_and_params(config, vocab, model_type,
+                                                   rng_seed=seed)
+    params = load_pretrained_params(inference_params, params, model_type,
+                                    n_layer=config['model']['n_layer'])
+    if model_type == 'performer':
+        # one feature draw per generation run (the reference redraws only at
+        # step 0 of each piece, inference.py:266)
+        omegas = model.draw_omegas(jax.random.PRNGKey(seed + 17))
+
+    generator = Stage2Generator(model, params, vocab, temp=samp['temp'],
+                                top_p=samp['top_p'], max_events=max_events,
+                                omegas=omegas)
+
+    shutil.copy(config_path, os.path.join(output_dir, 'config_full.yaml'))
+    if functional:
+        files = sorted(os.path.join(output_dir, f) for f in os.listdir(output_dir)
+                       if f.endswith('roman.txt'))
+    else:
+        files = sorted(os.path.join(output_dir, f) for f in os.listdir(output_dir)
+                       if f.endswith('.txt') and not f.endswith('roman.txt'))
+    print('[# pieces]', len(files))
+
+    n_ok = 0
+    times = []
+    for file_idx, path in enumerate(files):
+        out_name = '_'.join(os.path.basename(path).split('_')[:2])
+        for e in emotion_candidates_for_file(path):
+            midi_path = os.path.join(output_dir, out_name + '_' + e + '_full.mid')
+            if os.path.exists(midi_path):
+                print('[info] {} exists, skipping ...'.format(midi_path))
+                continue
+
+            key, lead_sheet_bars = read_generated_events(path, vocab.event2idx)
+            emotion_id = vocab.event2idx['Emotion_{}'.format(e)]
+            tempo_id = vocab.event2idx['Tempo_110']
+            if functional:
+                primer = [emotion_id, vocab.event2idx[key], tempo_id]
+            else:
+                primer = [emotion_id, tempo_id]
+
+            tokens, stats = generator.generate(
+                primer, lead_sheet_bars,
+                seed=seed + file_idx * 17 + hash(e) % 1000,
+                max_bars=max_bars_override or MAX_BARS)
+            times.append(stats['seconds'])
+
+            events = vocab.decode(tokens)
+            bars = extract_midi_events_from_generation(
+                key, events, relative_melody=functional)
+            events_to_midi(key, list(chain(*bars[:MAX_BARS])), 'full',
+                           output_midi_path=midi_path)
+            n_ok += 1
+
+    summary = {'pieces': n_ok,
+               'avg_secs': float(np.mean(times)) if times else 0.0}
+    print('[info] rendered {} full performances'.format(n_ok))
+    return summary

@@ -1,0 +1,168 @@
+"""Training stack tests: LR schedule parity, dataset invariants, and a real
+multi-device data-parallel train step on the virtual 8-CPU mesh."""
+
+import math
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import write_stage1_corpus, write_stage2_corpus
+
+from emo_disentanger_tpu.core.vocab import Vocab
+from emo_disentanger_tpu.data.datasets import Stage1Dataset, Stage2Dataset
+from emo_disentanger_tpu.models import PlainTransformer, MusicPerformer
+from emo_disentanger_tpu.parallel.mesh import make_mesh, shard_batch
+from emo_disentanger_tpu.train import (
+    OptimizerConfig, make_optimizer, make_train_step, make_eval_step,
+    init_train_state, stage1_loss_fn, stage2_performer_loss_fn,
+    warmup_cosine, finalize_accuracy,
+)
+from emo_disentanger_tpu.train.train_stage1 import neutralize_pad_rows
+
+
+def test_warmup_cosine_matches_torch_semantics():
+    sched = warmup_cosine(1e-4, 1e-5, warmup_steps=200, decay_steps=1000)
+    # warmup: lr = max_lr * step / warmup
+    np.testing.assert_allclose(float(sched(100)), 1e-4 * 100 / 200, rtol=1e-6)
+    # at warmup end: cosine at t=0 -> max_lr
+    np.testing.assert_allclose(float(sched(200)), 1e-4, rtol=1e-6)
+    # halfway through decay: midpoint of max and min
+    np.testing.assert_allclose(float(sched(700)), (1e-4 + 1e-5) / 2, rtol=1e-5)
+    # full decay: min_lr
+    np.testing.assert_allclose(float(sched(1200)), 1e-5, rtol=1e-5)
+
+
+@pytest.fixture(scope='module')
+def stage1_data(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('s1'))
+    events_dir, vocab_path, names = write_stage1_corpus(root, n_pieces=6)
+    return events_dir, vocab_path, names
+
+
+@pytest.fixture(scope='module')
+def stage2_data(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('s2'))
+    events_dir, vocab_path, names = write_stage2_corpus(root, n_pieces=4)
+    return events_dir, vocab_path, names
+
+
+def test_stage1_dataset_shapes_and_masks(stage1_data):
+    events_dir, vocab_path, names = stage1_data
+    vocab = Vocab.load(vocab_path)
+    dset = Stage1Dataset(events_dir, vocab, model_dec_seqlen=128)
+    assert len(dset) == 6
+    s = dset[0]
+    assert s.dec_inp.shape == (128,) and s.dec_tgt.shape == (128,)
+    # shift-by-one alignment on the live region
+    np.testing.assert_array_equal(s.dec_inp[1:s.length], s.dec_tgt[:s.length - 1])
+    # masks mark only chord/note targets
+    tgt_events = vocab.decode(s.dec_tgt[:s.length])
+    for i, ev in enumerate(tgt_events):
+        assert bool(s.inp_chord[i]) == ev.startswith('Chord')
+        assert bool(s.inp_melody[i]) == ev.startswith('Note')
+    # padding is PAD
+    assert (s.dec_inp[s.length:] == vocab.pad_id).all()
+
+
+def test_stage1_dataset_functional_prefix_quirk(stage1_data):
+    """Functional pieces (Emotion+Key prefix) end one token before EOS
+    (reference index arithmetic, dataloader.py:484-494)."""
+    events_dir, vocab_path, names = stage1_data
+    vocab = Vocab.load(vocab_path)
+    dset = Stage1Dataset(events_dir, vocab, model_dec_seqlen=512)
+    s = dset[0]
+    tgt_events = vocab.decode(s.dec_tgt[:s.length])
+    assert 'EOS_None' not in tgt_events       # dropped by the prefix-2 quirk
+    inp_events = vocab.decode(s.dec_inp[:s.length])
+    assert inp_events[0].startswith('Emotion')
+    assert inp_events[1].startswith('Key')
+
+
+def test_stage2_dataset_target_masking(stage2_data):
+    events_dir, vocab_path, names = stage2_data
+    vocab = Vocab.load(vocab_path)
+    dset = Stage2Dataset(events_dir, vocab, model_dec_seqlen=1024)
+    s = dset[0]
+    # targets are PAD exactly outside full-track spans
+    for i in range(s.length):
+        if s.track_mask[i] == 0:
+            assert s.dec_tgt[i] == vocab.pad_id
+    # the final full position targets EOS
+    nz = np.nonzero(s.track_mask)[0]
+    assert s.dec_tgt[nz[-1]] == vocab.eos_id
+    # inside full spans, target = next input token (teacher forcing)
+    inner = [i for i in nz[:-1] if s.track_mask[i + 1] == 1]
+    for i in inner[:50]:
+        if s.dec_tgt[i] != vocab.pad_id:
+            assert s.dec_tgt[i] == s.dec_inp[i + 1]
+
+
+def test_stage1_train_step_multidevice(stage1_data):
+    events_dir, vocab_path, names = stage1_data
+    vocab = Vocab.load(vocab_path)
+    dset = Stage1Dataset(events_dir, vocab, model_dec_seqlen=96)
+
+    mesh = make_mesh(8)
+    model = PlainTransformer(vocab_size=vocab.size, n_layer=2, n_head=2,
+                             d_model=32, d_ff=64, d_embed=32, dropout=0.1)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+
+    optimizer = make_optimizer(OptimizerConfig(max_lr=1e-3, min_lr=1e-4,
+                                               warmup_steps=2,
+                                               lr_decay_steps=100))
+    state = init_train_state(params, optimizer)
+    loss_fn = stage1_loss_fn(model, vocab.pad_id)
+    train_step = make_train_step(loss_fn, optimizer, mesh)
+
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for epoch in range(6):
+        for batch in dset.batches(8, shuffle=True):
+            batch = neutralize_pad_rows(batch, 8, vocab.pad_id)
+            batch.pop('length')
+            batch = shard_batch(mesh, batch)
+            rng, sub = jax.random.split(rng)
+            state, loss, aux = train_step(state, batch, sub, {})
+            losses.append(float(loss))
+    assert all(math.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]          # it learns something
+
+    acc = finalize_accuracy({k: float(v) for k, v in aux.items()})
+    assert 0.0 <= acc['total'] <= 1.0
+
+
+def test_stage2_performer_train_step_multidevice(stage2_data):
+    events_dir, vocab_path, names = stage2_data
+    vocab = Vocab.load(vocab_path)
+    dset = Stage2Dataset(events_dir, vocab, model_dec_seqlen=256)
+
+    mesh = make_mesh(8)
+    model = MusicPerformer(n_token=vocab.size, n_layer=2, n_head=2, d_model=32,
+                           d_ff=64, d_embed=32, dropout=0.1, favor_dims=16)
+    omegas = model.draw_omegas(jax.random.PRNGKey(3))
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        omegas, jnp.zeros((1, 8), jnp.int32))
+
+    optimizer = make_optimizer(OptimizerConfig(max_lr=1e-3, min_lr=1e-4,
+                                               warmup_steps=2,
+                                               lr_decay_steps=100,
+                                               accum_steps=2))
+    state = init_train_state(params, optimizer)
+    loss_fn = stage2_performer_loss_fn(model, vocab.pad_id)
+    train_step = make_train_step(loss_fn, optimizer, mesh)
+
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for epoch in range(4):
+        for batch in dset.batches(8, shuffle=True):
+            batch = neutralize_pad_rows(batch, 8, vocab.pad_id)
+            batch.pop('length')
+            batch = shard_batch(mesh, batch)
+            rng, sub = jax.random.split(rng)
+            state, loss, aux = train_step(state, batch, sub, {'omegas': omegas})
+            losses.append(float(loss))
+    assert all(math.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
