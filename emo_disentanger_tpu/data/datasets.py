@@ -280,26 +280,16 @@ class Stage2Dataset:
             tokens = tokens + [self.pad_id] * (self.model_dec_seqlen - length)
         inp = np.asarray(tokens, dtype=np.int32)
 
-        tgt = np.full_like(inp, self.pad_id)
-        track_mask = np.zeros_like(inp)
+        # target: PAD outside Full-track spans, next-token inside, EOS at the
+        # last full position (native C++ kernel with numpy fallback; the
+        # reference never truncates long pieces here because admissible start
+        # bars keep >= 0.5 x seqlen context — bound guards make it explicit)
         offset = -lead_pos[st_bar][0] + lead_pos[0][0]
-        n = len(inp)
-        for bidx in range(st_bar, len(lead_pos)):
-            f0, f1 = full_pos[bidx][0] + offset, full_pos[bidx][1] + offset
-            if f0 >= n:
-                break
-            track_mask[f0:min(f1, n)] = 1
-            if bidx != len(lead_pos) - 1:
-                hi = min(f1, n - 1)
-                tgt[f0:hi] = inp[f0 + 1:hi + 1]
-            else:
-                hi = min(f1 - 1, n - 1)
-                tgt[f0:hi] = inp[f0 + 1:hi + 1]
-                if f1 - 1 < n:
-                    tgt[f1 - 1] = self.eos_id
-        # (the reference never truncates long pieces here because admissible
-        # start bars keep >= 0.5 x seqlen context and it slices to seqlen;
-        # the min() guards make truncation explicit.)
+        spans = np.asarray([(full_pos[b][0] + offset, full_pos[b][1] + offset)
+                            for b in range(st_bar, len(lead_pos))], dtype=np.int64)
+        from .. import native
+        tgt, track_mask = native.make_stage2_target(
+            inp, spans[:, 0], spans[:, 1], self.pad_id, self.eos_id)
 
         tgt_events = self.vocab.decode(tgt)
         tgt_types = [_event_type(e) for e in tgt_events]
