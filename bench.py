@@ -1,10 +1,14 @@
 """Benchmark: stage-2 Performer decode throughput on one chip.
 
-Measures this framework's O(1)-state decode (per-layer FAVOR+ (S, z) carry,
-Pallas/XLA kernels) against an in-framework reimplementation of the
-reference's decode strategy — a full re-forward of the last-2048-token window
-per generated token (``stage2_accompaniment/inference.py:250-257``) — on the
-SAME chip, so ``vs_baseline`` is an apples-to-apples algorithmic speedup.
+Serving configuration: bfloat16 weights, batched songs (B=16 — e.g. four
+emotion quadrants x four groups decoded simultaneously), greedy scan over the
+O(1)-state decode path (per-layer FAVOR+ (S, z) carry).
+
+``vs_baseline`` compares against an in-framework reimplementation of the
+reference's decode strategy — one full forward of the last-2048-token window
+per generated token (``stage2_accompaniment/inference.py:250-257``) — run at
+the SAME batch size and precision on the SAME chip, so the ratio isolates the
+algorithmic speedup of carrying state instead of re-encoding the window.
 
 Prints one JSON line:
   {"metric": ..., "value": tokens/sec/chip, "unit": ..., "vs_baseline": x}
@@ -19,26 +23,32 @@ import jax.numpy as jnp
 VOCAB = 360
 DECODE_STEPS = 512
 WINDOW = 2048
+BATCH = 16
 
 
-def build_model():
+def build_model(dtype=jnp.bfloat16):
     from emo_disentanger_tpu.models import MusicPerformer
+    from emo_disentanger_tpu.utils.precision import cast_params
     model = MusicPerformer(n_token=VOCAB, n_layer=12, n_head=8, d_model=512,
                            d_ff=2048, d_embed=512, dropout=0.1, favor_dims=128,
-                           use_segment_emb=True, n_segment_types=2)
+                           use_segment_emb=True, n_segment_types=2, dtype=dtype)
     omegas = model.draw_omegas(jax.random.PRNGKey(1))
     params = model.init(jax.random.PRNGKey(0),
                         jnp.ones((1, 8), dtype=jnp.int32), omegas,
                         jnp.zeros((1, 8), dtype=jnp.int32))
+    if dtype == jnp.bfloat16:
+        params = cast_params(params)
     return model, params, omegas
 
 
-def bench_state_decode(model, params, omegas, n_steps=DECODE_STEPS):
+def bench_state_decode(model, params, omegas, batch=BATCH,
+                       n_steps=DECODE_STEPS):
     """Our decode: greedy scan over decode_step with carried (S, z)."""
     from emo_disentanger_tpu.models.performer import MusicPerformer
 
     def run(tok0):
-        state = model.apply(params, 1, method=MusicPerformer.init_decode_state)
+        state = model.apply(params, batch,
+                            method=MusicPerformer.init_decode_state)
 
         def step(carry, t):
             tok, state = carry
@@ -53,31 +63,32 @@ def bench_state_decode(model, params, omegas, n_steps=DECODE_STEPS):
         return toks
 
     run_j = jax.jit(run)
-    tok0 = jnp.ones((1,), dtype=jnp.int32)
+    tok0 = jnp.ones((batch,), dtype=jnp.int32)
     run_j(tok0).block_until_ready()                 # compile
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         run_j(tok0).block_until_ready()
     dt = (time.perf_counter() - t0) / reps
-    return n_steps / dt
+    return batch * n_steps / dt
 
 
-def bench_reference_style(model, params, omegas, ctx_len=WINDOW, n_tokens=8):
+def bench_reference_style(model, params, omegas, batch=BATCH,
+                          ctx_len=WINDOW, n_tokens=6):
     """Reference decode cost: one full forward of the context window per
-    token, keep_last_only (no cache)."""
+    token, keep_last_only (no cache), same batch and precision."""
     def one_token(tokens):
         return model.apply(params, tokens, omegas,
                            jnp.zeros_like(tokens), keep_last_only=True)
 
     fwd = jax.jit(one_token)
-    tokens = jnp.ones((1, ctx_len), dtype=jnp.int32)
+    tokens = jnp.ones((batch, ctx_len), dtype=jnp.int32)
     fwd(tokens).block_until_ready()                 # compile
     t0 = time.perf_counter()
     for _ in range(n_tokens):
         fwd(tokens).block_until_ready()
     dt = (time.perf_counter() - t0) / n_tokens
-    return 1.0 / dt
+    return batch / dt
 
 
 def main():
@@ -85,7 +96,9 @@ def main():
     ours = bench_state_decode(model, params, omegas)
     ref = bench_reference_style(model, params, omegas)
     print(json.dumps({
-        'metric': 'stage2 Performer decode throughput (12L/512d, greedy, B=1)',
+        'metric': 'stage2 Performer decode throughput '
+                  '(12L/512d, bf16, greedy, B=16, vs window re-forward at '
+                  'equal batch/precision)',
         'value': round(ours, 2),
         'unit': 'tokens/sec/chip',
         'vs_baseline': round(ours / ref, 2),
