@@ -1,0 +1,44 @@
+"""Batched stage-1 generation: per-song rules hold, deterministic."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests_vocab_helper import tiny_vocab2
+from emo_disentanger_tpu.models import PlainTransformer
+from emo_disentanger_tpu.infer.stage1_batch import Stage1BatchGenerator
+
+
+def test_batched_generation_rules_and_determinism():
+    vocab = tiny_vocab2()
+    model = PlainTransformer(vocab_size=vocab.size, n_layer=2, n_head=2,
+                             d_model=32, d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+
+    gen = Stage1BatchGenerator(model, params, vocab, batch=4, temp=1.2,
+                               top_p=0.97, max_events=40, max_bars=2,
+                               functional=True, reject_slack=128)
+    emotions = ['Q1', 'Q2', 'Q1', 'Q2']
+    songs, stats = gen.generate(emotions, seed=7)
+    songs2, _ = gen.generate(emotions, seed=7)
+    assert songs == songs2
+
+    for e, song in zip(emotions, songs):
+        if song is None or len(song) < 2:
+            continue
+        assert song[0] == 'Emotion_{}'.format(e)
+        if song[1].startswith('Key_'):
+            keyname = song[1].split('_')[1]
+            if e == 'Q1':
+                assert keyname == 'C'      # major for positive
+            else:
+                assert keyname == 'c'      # minor for negative
+        cur = 0
+        for ev in song[2:]:
+            if ev == 'Bar_None':
+                cur = 0
+            elif ev.startswith('Beat_'):
+                pos = int(ev.split('_')[1])
+                assert pos >= cur
+                cur = pos
+        assert 'PAD_None' not in song
