@@ -64,11 +64,13 @@ def bench_state_decode(model, params, omegas, batch=BATCH,
 
     run_j = jax.jit(run)
     tok0 = jnp.ones((batch,), dtype=jnp.int32)
-    run_j(tok0).block_until_ready()                 # compile
+    int(run_j(tok0)[-1, 0])                         # compile + force
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        run_j(tok0).block_until_ready()
+        # force a host readback: block_until_ready does not reliably
+        # synchronize through the axon relay
+        int(run_j(tok0)[-1, 0])
     dt = (time.perf_counter() - t0) / reps
     return batch * n_steps / dt
 
@@ -83,10 +85,10 @@ def bench_reference_style(model, params, omegas, batch=BATCH,
 
     fwd = jax.jit(one_token)
     tokens = jnp.ones((batch, ctx_len), dtype=jnp.int32)
-    fwd(tokens).block_until_ready()                 # compile
+    float(fwd(tokens)[0, 0])                        # compile + force
     t0 = time.perf_counter()
     for _ in range(n_tokens):
-        fwd(tokens).block_until_ready()
+        float(fwd(tokens)[0, 0])                    # host readback sync
     dt = (time.perf_counter() - t0) / n_tokens
     return batch / dt
 

@@ -115,6 +115,10 @@ def run(config_path: str, representation: str, mode: str, *,
             if functional:
                 events_to_txt(events_roman,
                               os.path.join(output_dir, out_name + '_roman.txt'))
+            if play_midi:
+                from .audio import midi_to_wav
+                midi_to_wav(midi_path,
+                            os.path.join(output_dir, out_name + '.wav'))
             n_ok += 1
 
     summary = {'pieces': n_ok,

@@ -93,6 +93,10 @@ def run(config_path: str, representation: str, model_type: str, *,
                 key, events, relative_melody=functional)
             events_to_midi(key, list(chain(*bars[:MAX_BARS])), 'full',
                            output_midi_path=midi_path)
+            if play_midi:
+                from .audio import midi_to_wav
+                midi_to_wav(midi_path, os.path.join(
+                    output_dir, out_name + '_' + e + '_full.wav'))
             n_ok += 1
 
     summary = {'pieces': n_ok,
