@@ -1,0 +1,134 @@
+"""Extended benchmark suite (the driver runs bench.py; this reports the full
+matrix): decode throughput for all three backbones at serving batch sizes,
+plus a derived two-stage songs/min figure.
+
+Prints one JSON object per line, one line per metric.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+VOCAB = 360
+STEPS = 384
+
+
+def _force(x):
+    return float(jnp.ravel(x)[0])
+
+
+def _time_scan(run_j, tok0, steps, reps=3):
+    _force(run_j(tok0))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _force(run_j(tok0))
+    return steps / ((time.perf_counter() - t0) / reps)
+
+
+def bench_performer(batch):
+    from emo_disentanger_tpu.models import MusicPerformer
+    from emo_disentanger_tpu.models.performer import MusicPerformer as MP
+    from emo_disentanger_tpu.utils.precision import cast_params
+    model = MusicPerformer(n_token=VOCAB, n_layer=12, n_head=8, d_model=512,
+                           d_ff=2048, d_embed=512, favor_dims=128,
+                           dtype=jnp.bfloat16)
+    omegas = model.draw_omegas(jax.random.PRNGKey(1))
+    params = cast_params(model.init(jax.random.PRNGKey(0),
+                                    jnp.ones((1, 8), jnp.int32), omegas,
+                                    jnp.zeros((1, 8), jnp.int32)))
+
+    def run(tok0):
+        state = model.apply(params, batch, method=MP.init_decode_state)
+
+        def step(carry, t):
+            tok, state = carry
+            logits, state = model.apply(params, tok, jnp.zeros_like(tok), t,
+                                        omegas, state, method=MP.decode_step)
+            return (jnp.argmax(logits, -1).astype(jnp.int32), state), ()
+
+        (tok, _), _ = jax.lax.scan(step, (tok0, state),
+                                   jnp.arange(STEPS, dtype=jnp.int32))
+        return tok
+
+    return batch * _time_scan(jax.jit(run), jnp.ones((batch,), jnp.int32), STEPS)
+
+
+def bench_gpt2(batch, cache_len=2048):
+    from emo_disentanger_tpu.models import MusicGPT2
+    from emo_disentanger_tpu.utils.precision import cast_params
+    model = MusicGPT2(n_token=VOCAB, n_layer=12, n_head=8, d_model=512,
+                      d_ff=2048, d_embed=512, dtype=jnp.bfloat16)
+    params = cast_params(model.init(jax.random.PRNGKey(0),
+                                    jnp.ones((1, 8), jnp.int32),
+                                    jnp.zeros((1, 8), jnp.int32)))
+
+    def run(tok0):
+        cache = model.apply(params, batch, cache_len,
+                            method=MusicGPT2.init_decode_cache)
+
+        def step(carry, t):
+            tok, cache = carry
+            logits, cache = model.apply(params, tok, jnp.zeros_like(tok), t,
+                                        cache, method=MusicGPT2.decode_step)
+            return (jnp.argmax(logits, -1).astype(jnp.int32), cache), ()
+
+        (tok, _), _ = jax.lax.scan(step, (tok0, cache),
+                                   jnp.arange(STEPS, dtype=jnp.int32))
+        return tok
+
+    return batch * _time_scan(jax.jit(run), jnp.ones((batch,), jnp.int32), STEPS)
+
+
+def bench_txl(batch, cache_len=1536):
+    from emo_disentanger_tpu.models import PlainTransformer
+    from emo_disentanger_tpu.utils.precision import cast_params
+    model = PlainTransformer(vocab_size=VOCAB, n_layer=12, n_head=8,
+                             d_model=512, d_ff=2048, d_embed=512,
+                             dtype=jnp.bfloat16)
+    params = cast_params(model.init(jax.random.PRNGKey(0),
+                                    jnp.ones((1, 8), jnp.int32)))
+
+    def run(tok0):
+        cache = model.apply(params, batch, cache_len,
+                            method=PlainTransformer.init_decode_cache)
+
+        def step(carry, t):
+            tok, cache = carry
+            logits, cache = model.apply(params, tok, t, cache,
+                                        method=PlainTransformer.decode_step)
+            return (jnp.argmax(logits, -1).astype(jnp.int32), cache), ()
+
+        (tok, _), _ = jax.lax.scan(step, (tok0, cache),
+                                   jnp.arange(STEPS, dtype=jnp.int32))
+        return tok
+
+    return batch * _time_scan(jax.jit(run), jnp.ones((batch,), jnp.int32), STEPS)
+
+
+def main():
+    results = {}
+    for name, fn in [('stage1_txl', bench_txl),
+                     ('stage2_performer', bench_performer),
+                     ('stage2_gpt2', bench_gpt2)]:
+        for batch in (1, 16):
+            tps = fn(batch)
+            key = f'{name}_B{batch}'
+            results[key] = tps
+            print(json.dumps({'metric': f'{name} decode', 'batch': batch,
+                              'value': round(tps, 1),
+                              'unit': 'tokens/sec/chip'}))
+
+    # two-stage songs/min: ~512 stage-1 + ~3000 stage-2 tokens per song
+    s1 = results['stage1_txl_B16']
+    s2 = results['stage2_performer_B16']
+    per_song = 512 / s1 + 3000 / s2
+    print(json.dumps({'metric': 'two-stage songs/min (derived, B=16, '
+                                '512 s1 + 3000 s2 tokens/song)',
+                      'value': round(60.0 / per_song, 1),
+                      'unit': 'songs/min/chip'}))
+
+
+if __name__ == '__main__':
+    main()

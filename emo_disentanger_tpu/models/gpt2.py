@@ -81,29 +81,40 @@ class GPT2Block(nn.Module):
             return out, k, v
         return out
 
-    def decode_step(self, x, t, k_cache, v_cache):
-        """x [B,1,D]; k_cache/v_cache [B,Kmax,H,Dh]; causal over cache."""
+    def decode_step(self, x, t, layer_idx, k_all, v_all):
+        """x [B,1,D]; k_all/v_all [n_layer,B,Kmax,H,Dh] updated in place at
+        [layer_idx,:,t] (buffer aliases through scan carries)."""
         B = x.shape[0]
-        Kmax = k_cache.shape[1]
+        Kmax = k_all.shape[2]
         h = self.ln_1(x)
         q, k, v = jnp.split(self.c_attn(h), 3, axis=-1)
         q = q.reshape(B, self.n_head, self.d_head)
-        k_cache = jax.lax.dynamic_update_slice_in_dim(
-            k_cache, k.reshape(B, 1, self.n_head, self.d_head), t, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(
-            v_cache, v.reshape(B, 1, self.n_head, self.d_head), t, axis=1)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k.reshape(1, B, 1, self.n_head, self.d_head),
+            (layer_idx, 0, t, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v.reshape(1, B, 1, self.n_head, self.d_head),
+            (layer_idx, 0, t, 0, 0))
+        k_cache = k_all[layer_idx]
+        v_cache = v_all[layer_idx]
 
+        # full-cache masked attention: for GPT-2's shapes the single big
+        # einsum pipelines better than a chunked while-loop (measured on
+        # v5e; the TXL layer uses ops.attention.flash_decode_attention
+        # because its relative-position term also scales with cache length)
         scale = 1.0 / (self.d_head ** 0.5)
         scores = jnp.einsum('bhd,bjhd->bhj', q, k_cache) * scale
         positions = jnp.arange(Kmax)
         scores = jnp.where((positions > t)[None, None, :], NEG_INF, scores)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
-        attn = jnp.einsum('bhj,bjhd->bhd', probs, v_cache).reshape(B, 1, self.d_model)
+        probs = jax.nn.softmax(scores.astype(jnp.float32),
+                               axis=-1).astype(scores.dtype)
+        attn = jnp.einsum('bhj,bjhd->bhd', probs, v_cache)
+        attn = attn.reshape(B, 1, self.d_model)
         x = x + self.attn_proj(attn)
 
         h = self.ln_2(x)
         h = nn.gelu(self.c_fc(h), approximate=True)
-        return x + self.mlp_proj(h), k_cache, v_cache
+        return x + self.mlp_proj(h), k_all, v_all
 
 
 class MusicGPT2(nn.Module):
@@ -189,13 +200,11 @@ class MusicGPT2(nn.Module):
             pe = sinusoid_position_encoding(self.max_len, self.d_embed)
             emb = emb + jax.lax.dynamic_slice_in_dim(pe, t, 1, axis=0)[None]
         h = emb
-        ks, vs = [], []
+        k_all, v_all = cache['k'], cache['v']
         for i, block in enumerate(self.blocks):
-            h, k_c, v_c = block.decode_step(h, t, cache['k'][i], cache['v'][i])
-            ks.append(k_c)
-            vs.append(v_c)
+            h, k_all, v_all = block.decode_step(h, t, i, k_all, v_all)
         logits = self.out_proj(h.astype(jnp.float32))[:, 0]
-        return logits, {'k': jnp.stack(ks), 'v': jnp.stack(vs)}
+        return logits, {'k': k_all, 'v': v_all}
 
     def compute_loss(self, logits, targets):
         return masked_cross_entropy(logits, targets, self.n_token - 1)

@@ -83,8 +83,9 @@ class PerformerLayer(nn.Module):
         y = self.drop(self.linear2(y), deterministic=deterministic)
         return self.norm2(x + y)
 
-    def decode_step(self, x, omega, S, z):
-        """x [B, 1, D]; carried S [B,H,M,Dh], z [B,H,M]."""
+    def decode_step(self, x, omega, layer_idx, S_all, z_all):
+        """x [B, 1, D]; carried state S_all [n_layer,B,H,M,Dh] /
+        z_all [n_layer,B,H,M], updated in place at layer_idx."""
         B = x.shape[0]
         q = self.q_proj(x).reshape(B, self.n_head, self.d_head)
         k = self.k_proj(x).reshape(B, self.n_head, self.d_head)
@@ -92,13 +93,18 @@ class PerformerLayer(nn.Module):
         phi_q = favor_features(q, omega, is_query=True)
         phi_k = favor_features(k, omega, is_query=False, key_stabilizer=0.0)
         attn, S, z = linear_attention_decode_step(
-            phi_q, phi_k, v.astype(jnp.float32), S, z)
+            phi_q, phi_k, v.astype(jnp.float32), S_all[layer_idx],
+            z_all[layer_idx])
+        S_all = jax.lax.dynamic_update_slice(
+            S_all, S[None], (layer_idx, 0, 0, 0, 0))
+        z_all = jax.lax.dynamic_update_slice(
+            z_all, z[None], (layer_idx, 0, 0, 0))
         attn = attn.astype(x.dtype).reshape(B, 1, self.d_model)
         x = x + self.out_proj(attn)
         y = x = self.norm1(x)
         y = nn.relu(self.linear1(y))
         y = self.linear2(y)
-        return self.norm2(x + y), S, z
+        return self.norm2(x + y), S_all, z_all
 
 
 class MusicPerformer(nn.Module):
@@ -190,13 +196,11 @@ class MusicPerformer(nn.Module):
             pe = sinusoid_position_encoding(self.max_len, self.d_embed)
             emb = emb + jax.lax.dynamic_slice_in_dim(pe, t, 1, axis=0)[None]
         h = emb
-        Ss, zs = [], []
+        S_all, z_all = state['S'], state['z']
         for i, layer in enumerate(self.layers):
-            h, S, z = layer.decode_step(h, omegas[i], state['S'][i], state['z'][i])
-            Ss.append(S)
-            zs.append(z)
+            h, S_all, z_all = layer.decode_step(h, omegas[i], i, S_all, z_all)
         logits = self.out_proj(h.astype(jnp.float32))[:, 0]
-        return logits, {'S': jnp.stack(Ss), 'z': jnp.stack(zs)}
+        return logits, {'S': S_all, 'z': z_all}
 
     def compute_loss(self, logits, targets):
         """CE ignoring PAD (= n_token - 1), reference

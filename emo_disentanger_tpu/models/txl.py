@@ -36,6 +36,26 @@ from .embeddings import (
 NEG_INF = -1e30
 
 
+def decode_buckets(max_klen: int, min_bucket: int = 256):
+    """Prefix bucket sizes for decode attention: powers of two up to the
+    cache length.  Each step attends only over the smallest bucket covering
+    position t, cutting HBM traffic early in a song."""
+    buckets = []
+    b = min(min_bucket, max_klen)
+    while b < max_klen:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_klen)
+    return buckets
+
+
+def bucket_index(t: jax.Array, buckets) -> jax.Array:
+    idx = jnp.int32(0)
+    for b in buckets[:-1]:
+        idx = idx + (t + 1 > b).astype(jnp.int32)
+    return idx
+
+
 def _rel_shift(x: jax.Array) -> jax.Array:
     """Transformer-XL relative shift: [B, H, Q, K] -> [B, H, Q, K] so that
     entry (i, j) picks the score at distance (mlen + i - j)."""
@@ -106,40 +126,41 @@ class TXLSelfAttention(nn.Module):
             return x + out
         return self.layer_norm(x + out)
 
-    def decode_step(self, x, t, k_cache, v_cache, r_heads, r_w_bias, r_r_bias):
+    def decode_step(self, x, t, layer_idx, k_all, v_all, r_heads,
+                    r_w_bias, r_r_bias):
         """Single-token step.  x [B,1,D]; t scalar write index;
-        k_cache/v_cache [B,Kmax,H,Dh]; r_heads [Kmax,H,Dh] where
-        r_heads[d] = r_net(PE(d)).  Returns (out [B,1,D], k_cache, v_cache).
+        k_all/v_all [n_layer,B,Kmax,H,Dh] (updated IN PLACE at
+        [layer_idx,:,t] so the whole-cache buffer aliases through scan
+        carries instead of being re-stacked and copied every step);
+        r_heads [Kmax,H,Dh] where r_heads[d] = r_net(PE(d)).
+        Returns (out [B,1,D], k_all, v_all).
         """
         B = x.shape[0]
-        Kmax = k_cache.shape[1]
+        Kmax = k_all.shape[2]
         inp = self.layer_norm(x) if self.pre_lnorm else x
         q, k, v = jnp.split(self.qkv_net(inp), 3, axis=-1)
         q = q.reshape(B, self.n_head, self.d_head)
-        k_cache = jax.lax.dynamic_update_slice_in_dim(
-            k_cache, k.reshape(B, 1, self.n_head, self.d_head), t, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(
-            v_cache, v.reshape(B, 1, self.n_head, self.d_head), t, axis=1)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k.reshape(1, B, 1, self.n_head, self.d_head),
+            (layer_idx, 0, t, 0, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v.reshape(1, B, 1, self.n_head, self.d_head),
+            (layer_idx, 0, t, 0, 0))
+        k_cache = k_all[layer_idx]
+        v_cache = v_all[layer_idx]
 
-        positions = jnp.arange(Kmax)
-        scale = 1.0 / (self.d_head ** 0.5)
-        ac = jnp.einsum('bhd,bjhd->bhj', q + r_w_bias.astype(q.dtype), k_cache)
-        # BD[j] = (q + r_r) . r_net(PE(t - j)): compute scores over all
-        # distances with one MXU matmul, then align by a dynamic slice
-        # (cheaper than gathering [Kmax,H,Dh] rows of r_heads per step)
-        rq = jnp.einsum('bhd,khd->bhk', q + r_r_bias.astype(q.dtype), r_heads)
-        rq = jnp.flip(rq, axis=-1)                              # distance Kmax-1..0
-        rq = jnp.pad(rq, ((0, 0), (0, 0), (0, Kmax)))
-        bd = jax.lax.dynamic_slice_in_dim(rq, Kmax - 1 - t, Kmax, axis=-1)
-        scores = (ac + bd) * scale
-        scores = jnp.where((positions > t)[None, None, :], NEG_INF, scores)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
-        out = jnp.einsum('bhj,bjhd->bhd', probs, v_cache)
+        # flash-style chunked attention over the live prefix only, with the
+        # TXL relative-position term folded in per chunk
+        from ..ops.attention import flash_decode_attention
+        out = flash_decode_attention(
+            q + r_w_bias.astype(q.dtype), k_cache, v_cache, t,
+            scale=1.0 / (self.d_head ** 0.5),
+            rel=(q + r_r_bias.astype(q.dtype), r_heads))
         out = self.o_net(out.reshape(B, 1, self.n_head * self.d_head))
         attn_out = x + out
         if not self.pre_lnorm:
             attn_out = self.layer_norm(attn_out)
-        return attn_out, k_cache, v_cache
+        return attn_out, k_all, v_all
 
     def rel_heads(self, max_klen: int) -> jax.Array:
         """Precompute r_net(PE(d)) for distances 0..max_klen-1."""
@@ -196,11 +217,12 @@ class TXLLayer(nn.Module):
                       deterministic=deterministic)
         return self.ff(x, deterministic=deterministic)
 
-    def decode_step(self, x, t, k_cache, v_cache, r_heads, r_w_bias, r_r_bias):
-        x, k_cache, v_cache = self.attn.decode_step(
-            x, t, k_cache, v_cache, r_heads, r_w_bias, r_r_bias)
+    def decode_step(self, x, t, layer_idx, k_all, v_all, r_heads,
+                    r_w_bias, r_r_bias):
+        x, k_all, v_all = self.attn.decode_step(
+            x, t, layer_idx, k_all, v_all, r_heads, r_w_bias, r_r_bias)
         x = self.ff(x, deterministic=True)
-        return x, k_cache, v_cache
+        return x, k_all, v_all
 
 
 class PlainTransformer(nn.Module):
@@ -309,15 +331,13 @@ class PlainTransformer(nn.Module):
                     cache: Dict[str, Any]) -> Tuple[jax.Array, Dict[str, Any]]:
         """token [B] int32, t scalar position -> (logits [B, V], cache)."""
         h = self.word_emb(token[:, None])
-        ks, vs = [], []
+        k_all, v_all = cache['k'], cache['v']
         for idx, layer in enumerate(self.layers):
-            h, k_c, v_c = layer.decode_step(
-                h, t, cache['k'][idx], cache['v'][idx], cache['r'][idx],
+            h, k_all, v_all = layer.decode_step(
+                h, t, idx, k_all, v_all, cache['r'][idx],
                 self.r_w_bias, self.r_r_bias)
-            ks.append(k_c)
-            vs.append(v_c)
         logits = self.out_proj(h.astype(jnp.float32))[:, 0]
-        return logits, {'k': jnp.stack(ks), 'v': jnp.stack(vs), 'r': cache['r']}
+        return logits, {'k': k_all, 'v': v_all, 'r': cache['r']}
 
     # -------------------------------------------------------------- loss
     def compute_loss(self, logits: jax.Array, targets: jax.Array) -> jax.Array:

@@ -1,0 +1,84 @@
+"""Dense-attention decode op: flash-style chunked attention over a KV cache.
+
+One generated token attends over the live prefix [0, t] of a padded cache.
+Reading the whole padded buffer each step wastes HBM bandwidth early in the
+song, and a static-bucket ``lax.switch`` multiplies compile time inside the
+decode scan.  This op instead runs a ``fori_loop`` over 256-wide chunks with
+an online-softmax accumulator (the flash-attention recurrence): a single
+compiled body whose trip count ``ceil((t+1)/chunk)`` tracks the live length
+at runtime.
+
+Supports the Transformer-XL relative-position score term: with
+``rel=(rr_q, r_heads)`` each chunk adds BD[j] = rr_q . r_heads[t-j], where
+the needed distance rows are a contiguous (reversed) slice of ``r_heads``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def flash_decode_attention(
+    q: jax.Array,              # [B, H, Dh]  (for TXL pass q + r_w_bias here)
+    k_cache: jax.Array,        # [B, Kmax, H, Dh]
+    v_cache: jax.Array,        # [B, Kmax, H, Dh]
+    t: jax.Array,              # scalar: current (just written) position
+    *,
+    scale: float,
+    chunk: int = 256,
+    rel: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    """Returns [B, H, Dh] attention over positions 0..t (inclusive)."""
+    B, Kmax, H, Dh = k_cache.shape
+    chunk = min(chunk, Kmax)
+    q32 = q.astype(jnp.float32)
+
+    if rel is not None:
+        rr_q, r_heads = rel
+        rr_q = rr_q.astype(jnp.float32)
+
+    def body(ci, carry):
+        m, l, acc = carry
+        c0 = ci * chunk
+        kk = jax.lax.dynamic_slice(k_cache, (0, c0, 0, 0), (B, chunk, H, Dh))
+        vv = jax.lax.dynamic_slice(v_cache, (0, c0, 0, 0), (B, chunk, H, Dh))
+        s = jnp.einsum('bhd,bjhd->bhj', q32, kk.astype(jnp.float32))
+
+        if rel is not None:
+            # BD[jj] = rr_q . r_heads[t - (c0+jj)]; the distances form the
+            # reversed contiguous range [e-chunk+1, e] with e = t - c0, so
+            # one slice of r_heads + a flip/align recovers them all.
+            e = t - c0
+            s0 = jnp.clip(e - chunk + 1, 0, Kmax - chunk)
+            rslice = jax.lax.dynamic_slice(
+                r_heads, (s0, 0, 0), (chunk, H, Dh)).astype(jnp.float32)
+            rq = jnp.einsum('bhd,khd->bhk', rr_q, rslice)
+            rq = jnp.flip(rq, axis=-1)
+            rq = jnp.pad(rq, ((0, 0), (0, 0), (0, chunk)))
+            start = (chunk - 1) - (e - s0)
+            bd = jax.lax.dynamic_slice_in_dim(rq, start, chunk, axis=-1)
+            s = s + bd
+
+        s = s * scale
+        jj = c0 + jnp.arange(chunk)
+        s = jnp.where((jj > t)[None, None, :], NEG_INF, s)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            'bhj,bjhd->bhd', p, vv.astype(jnp.float32))
+        return m_new, l, acc
+
+    m0 = jnp.full((B, H), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, H), jnp.float32)
+    acc0 = jnp.zeros((B, H, Dh), jnp.float32)
+    n_chunks = t // chunk + 1
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+    return (acc / l[..., None]).astype(q.dtype)
