@@ -70,6 +70,23 @@ class Corpus:
     last_bar: int = 0
 
 
+def find_key_emopia(csv_path: str):
+    """Per-clip key name/mode from the EMOPIA+ ``key_mode_tempo.csv``
+    (reference ``find_key_emopia``, ``convert_key.py:79-90``; the pipeline
+    CLI uses ``adjust_keyname.json`` instead, ``midi2events_emopia.py:735``).
+    """
+    import csv as _csv
+    with open(csv_path, 'r') as f:
+        rows = list(_csv.reader(f))
+    clip2keyname: Dict[str, str] = {}
+    clip2keymode: Dict[str, int] = {}
+    for row in rows[1:]:
+        name, keyname = row[1], row[2]
+        clip2keyname[name] = keyname
+        clip2keymode[name] = 0 if keyname in MAJOR_KEY else 1
+    return clip2keyname, clip2keymode
+
+
 # ---------------------------------------------------------------------------
 # stage A: regularize the raw MIDI
 # ---------------------------------------------------------------------------
