@@ -107,6 +107,47 @@ def bench_txl(batch, cache_len=1536):
     return batch * _time_scan(jax.jit(run), jnp.ones((batch,), jnp.int32), STEPS)
 
 
+def bench_train_step(batch=4, seqlen=3072):
+    """Stage-2 Performer training step (fwd+bwd+Adam) at production shapes,
+    Pallas linear-attention kernel on the hot path."""
+    import numpy as np
+    from emo_disentanger_tpu.models import MusicPerformer
+    from emo_disentanger_tpu.train import (
+        OptimizerConfig, make_optimizer, make_train_step, init_train_state,
+        stage2_performer_loss_fn)
+    from emo_disentanger_tpu.parallel.mesh import make_mesh, shard_batch
+
+    model = MusicPerformer(n_token=VOCAB, n_layer=12, n_head=8, d_model=512,
+                           d_ff=2048, d_embed=512, favor_dims=128)
+    omegas = model.draw_omegas(jax.random.PRNGKey(1))
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        omegas, jnp.zeros((1, 8), jnp.int32))
+    mesh = make_mesh()
+    optimizer = make_optimizer(OptimizerConfig())
+    state = init_train_state(params, optimizer)
+    step = make_train_step(stage2_performer_loss_fn(model, VOCAB - 1),
+                           optimizer, mesh)
+    rng = np.random.RandomState(0)
+    batch_data = shard_batch(mesh, {
+        'dec_inp': rng.randint(0, VOCAB - 1, (batch, seqlen)).astype('int32'),
+        'dec_tgt': rng.randint(0, VOCAB - 1, (batch, seqlen)).astype('int32'),
+        'track_mask': (rng.random((batch, seqlen)) > 0.5).astype('int32'),
+        'chord_idx': np.zeros((batch, seqlen), 'int32'),
+        'melody_idx': np.zeros((batch, seqlen), 'int32'),
+    })
+    extras = {'omegas': omegas}
+    k = jax.random.PRNGKey(2)
+    state, loss, _ = step(state, batch_data, k, extras)
+    _force(loss)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, loss, _ = step(state, batch_data, k, extras)
+        _force(loss)
+    dt = (time.perf_counter() - t0) / reps
+    return batch * seqlen / dt
+
+
 def main():
     results = {}
     for name, fn in [('stage1_txl', bench_txl),
@@ -128,6 +169,12 @@ def main():
                                 '512 s1 + 3000 s2 tokens/song)',
                       'value': round(60.0 / per_song, 1),
                       'unit': 'songs/min/chip'}))
+
+    tps = bench_train_step()
+    print(json.dumps({'metric': 'stage2 Performer train step '
+                                '(fwd+bwd+Adam, B=4, L=3072, f32)',
+                      'value': round(tps, 1),
+                      'unit': 'tokens/sec/chip'}))
 
 
 if __name__ == '__main__':

@@ -123,6 +123,20 @@ def merge_tracks(melody_track: List[str], chord_track: List[str]) -> List[str]:
     return events
 
 
+def construct_inadmissible_set(tempo_val: int, event2idx: Dict[str, int],
+                               vocab_size: int, tolerance: int = 20) -> np.ndarray:
+    """Bool mask [V] forbidding tempo tokens more than ``tolerance`` bpm from
+    ``tempo_val`` (reference ``construct_inadmissible_set``,
+    ``stage2_accompaniment/inference.py:59-68``); feed to the samplers'
+    ``forbid`` argument."""
+    forbid = np.zeros(vocab_size, dtype=bool)
+    for ev, idx in event2idx.items():
+        if ev.startswith('Tempo') and 'Conti' not in ev:
+            if abs(int(ev.split('_')[-1]) - tempo_val) > tolerance:
+                forbid[idx] = True
+    return forbid
+
+
 def emotion_candidates_for_file(filename: str) -> List[str]:
     """Valence-labelled stage-1 file -> arousal quadrants to render
     (reference ``stage2_accompaniment/inference.py:433-448``)."""

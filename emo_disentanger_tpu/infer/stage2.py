@@ -56,7 +56,8 @@ class Stage2Generator:
                  max_events: int = 10000,
                  gpt2_cache_len: int = 4096,
                  gpt2_window: int = 2048,
-                 omegas: Optional[jax.Array] = None):
+                 omegas: Optional[jax.Array] = None,
+                 forbid: Optional[np.ndarray] = None):
         self.model = model
         self.params = params
         self.vocab = vocab
@@ -68,6 +69,8 @@ class Stage2Generator:
         self.cache_len = gpt2_cache_len
         self.window = gpt2_window
         self.omegas = omegas
+        # optional inadmissible-token mask (e.g. construct_inadmissible_set)
+        self.forbid = None if forbid is None else jnp.asarray(forbid)
         if self.is_performer and omegas is None:
             raise ValueError('Performer decoding needs drawn omegas')
 
@@ -135,7 +138,8 @@ class Stage2Generator:
 
         def body(s):
             rng, sub = jax.random.split(s['rng'])
-            word = nucleus_sample(sub, s['logits'], self.temp, self.top_p)
+            word = nucleus_sample(sub, s['logits'], self.temp, self.top_p,
+                                  forbid=self.forbid)
 
             beat_bad = is_beat[word] & (beat_pos[word] < s['cur_pos'])
             eos_early = is_eos[word] & (bars < target_bars - 1)

@@ -43,7 +43,14 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of [B, ...] arrays with B sharded over dp."""
+    """Device-put a pytree of [B, ...] arrays with B sharded over dp.
+
+    On a 1-device mesh a plain device_put is used: NamedSharding-committed
+    arrays trigger a pathological reshard path on some single-device
+    platforms (axon relay) even though the sharding is a no-op.
+    """
+    if mesh.size == 1:
+        return jax.tree_util.tree_map(jax.device_put, batch)
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding) if getattr(x, 'ndim', 0) >= 1 else x,

@@ -114,6 +114,19 @@ def run(config_path: str, representation: str, *,
         lr_decay_steps=tconf['lr_decay_steps'])
     optimizer = make_optimizer(opt_cfg)
     state = init_train_state(params, optimizer)
+    # optimizer-state resume: orbax checkpoints restore exactly; the torch
+    # Adam state of released .pt optimizers is not convertible (parameter
+    # ordering is positional there) and is skipped with a warning
+    if config.get('pretrained_optim_path'):
+        opt_path = config['pretrained_optim_path']
+        if opt_path.endswith('.pt'):
+            print('[warn] torch optimizer state {} not convertible; '
+                  'starting Adam fresh'.format(opt_path))
+        else:
+            _, opt_state = load_checkpoint(os.path.dirname(opt_path) or opt_path,
+                                           state.params, state.opt_state)
+            if opt_state is not None:
+                state = state.replace(opt_state=opt_state)
 
     loss_fn = stage1_loss_fn(model, vocab.pad_id)
     train_step = make_train_step(loss_fn, optimizer, mesh)

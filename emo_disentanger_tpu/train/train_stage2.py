@@ -99,6 +99,16 @@ def run(config_path: str, representation: str, model_type: str, *,
         accum_steps=accum_steps)
     optimizer = make_optimizer(opt_cfg)
     state = init_train_state(params, optimizer)
+    if tconf.get('trained_optim'):
+        opt_path = tconf['trained_optim']
+        if opt_path.endswith('.pt'):
+            print('[warn] torch optimizer state {} not convertible; '
+                  'starting Adam fresh'.format(opt_path))
+        else:
+            _, opt_state = load_checkpoint(os.path.dirname(opt_path) or opt_path,
+                                           state.params, state.opt_state)
+            if opt_state is not None:
+                state = state.replace(opt_state=opt_state)
 
     if model_type == 'performer':
         loss_fn = stage2_performer_loss_fn(model, vocab.pad_id)

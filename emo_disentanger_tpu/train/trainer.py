@@ -110,7 +110,11 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
         return new_state, loss, aux
 
     kwargs = {}
-    if mesh is not None:
+    # explicit shardings only for real multi-device meshes: on a 1-device
+    # mesh they are semantically a no-op but trigger a pathological
+    # reshard-through-host path on some platforms (measured 180x slower
+    # through the axon relay)
+    if mesh is not None and mesh.size > 1:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
         kwargs = dict(
@@ -125,7 +129,7 @@ def make_eval_step(loss_fn: Callable, mesh: Optional[Mesh] = None):
         return loss_fn(params, batch, None, extras)
 
     kwargs = {}
-    if mesh is not None:
+    if mesh is not None and mesh.size > 1:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
         kwargs = dict(in_shardings=(repl, data, repl), out_shardings=(repl, repl))
