@@ -346,6 +346,33 @@ class PlainTransformer(nn.Module):
         return masked_cross_entropy(logits, targets, self._pad)
 
 
+def update_mems_varlen(mems: jax.Array, hids: jax.Array,
+                       seg_len: jax.Array) -> jax.Array:
+    """Per-sample variable-length XL memory update.
+
+    ``mems`` [B, mlen, D] fixed ring buffer, ``hids`` [B, L, D] new hidden
+    states, ``seg_len`` [B] how many of each sample's hiddens are real.  Each
+    sample keeps the last mlen entries of concat(mems_b, hids_b[:seg_len_b]).
+
+    Mirrors the reference's ``_update_mems`` dec_seg_len path
+    (``optimus_txl_decoder.py:724-748``) in a fixed-shape buffer: the
+    reference left-pads shorter memories with zero hidden states, which is
+    exactly what the untouched prefix of this zero-initialized buffer is.
+    """
+    B, mlen, D = mems.shape
+    L = hids.shape[1]
+
+    def one(mem_b, hid_b, n_b):
+        idx = n_b + jnp.arange(mlen)                      # positions in concat
+        from_old = idx < mlen
+        old_rows = jnp.take(mem_b, jnp.clip(idx, 0, mlen - 1), axis=0)
+        new_rows = jnp.take(hid_b, jnp.clip(idx - mlen, 0, L - 1), axis=0)
+        return jnp.where(from_old[:, None], old_rows, new_rows)
+
+    return jax.lax.stop_gradient(
+        jax.vmap(one)(mems, hids, jnp.clip(seg_len, 0, L)))
+
+
 def masked_cross_entropy(logits: jax.Array, targets: jax.Array,
                          pad_id: int) -> jax.Array:
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

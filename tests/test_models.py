@@ -159,3 +159,17 @@ def test_gpt2_causality(gpt2):
     b = model.apply(params, toks2, seg)
     np.testing.assert_allclose(np.asarray(a[:, :7]), np.asarray(b[:, :7]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_update_mems_varlen():
+    from emo_disentanger_tpu.models.txl import update_mems_varlen
+    B, mlen, L, D = 2, 4, 3, 2
+    mems = jnp.arange(B * mlen * D, dtype=jnp.float32).reshape(B, mlen, D)
+    hids = 100 + jnp.arange(B * L * D, dtype=jnp.float32).reshape(B, L, D)
+    seg_len = jnp.array([2, 0])
+    out = update_mems_varlen(mems, hids, seg_len)
+    # sample 0: keep last 4 of concat(mems0[0:4], hids0[0:2]) = mems0[2:4]+hids0[0:2]
+    np.testing.assert_array_equal(np.asarray(out[0, :2]), np.asarray(mems[0, 2:4]))
+    np.testing.assert_array_equal(np.asarray(out[0, 2:]), np.asarray(hids[0, :2]))
+    # sample 1: unchanged
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(mems[1]))
