@@ -22,6 +22,8 @@ def main(argv=None):
                         default='generation/emopia_functional_two')
     parser.add_argument('-p', '--play_midi', default=False, action='store_true')
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--batch', type=int, default=0,
+                        help='device-batched jobs (performer backbone only)')
     args = parser.parse_args(argv)
 
     from ..infer import run_stage2
@@ -29,7 +31,8 @@ def main(argv=None):
                           args.representation, args.model_type,
                           inference_params=args.inference_params,
                           output_dir=args.output_dir,
-                          play_midi=args.play_midi, seed=args.seed)
+                          play_midi=args.play_midi, seed=args.seed,
+                          batch_size=args.batch)
 
 
 if __name__ == '__main__':

@@ -36,7 +36,11 @@ SAMPLING = {
 def run(config_path: str, representation: str, model_type: str, *,
         inference_params: str, output_dir: str, play_midi: bool = False,
         seed: int = 0, max_events: int = 10000,
-        max_bars_override: Optional[int] = None) -> dict:
+        max_bars_override: Optional[int] = None,
+        batch_size: int = 0) -> dict:
+    """``batch_size > 0`` with the Performer backbone decodes that many
+    (file, quadrant) jobs simultaneously in one device loop
+    (:class:`..infer.stage2_batch.Stage2BatchGenerator`)."""
     config = load_yaml(config_path)
     functional = representation == 'functional'
     samp = SAMPLING[model_type]
@@ -63,6 +67,15 @@ def run(config_path: str, representation: str, model_type: str, *,
         files = sorted(os.path.join(output_dir, f) for f in os.listdir(output_dir)
                        if f.endswith('.txt') and not f.endswith('roman.txt'))
     print('[# pieces]', len(files))
+
+    if batch_size > 0 and model_type == 'performer':
+        return _run_batched(generator=None, model=model, params=params,
+                            vocab=vocab, omegas=omegas, files=files,
+                            functional=functional, output_dir=output_dir,
+                            samp=samp, max_events=max_events,
+                            max_bars=max_bars_override or MAX_BARS,
+                            batch_size=batch_size, seed=seed,
+                            play_midi=play_midi)
 
     n_ok = 0
     times = []
@@ -103,3 +116,63 @@ def run(config_path: str, representation: str, model_type: str, *,
                'avg_secs': float(np.mean(times)) if times else 0.0}
     print('[info] rendered {} full performances'.format(n_ok))
     return summary
+
+
+def _run_batched(*, generator, model, params, vocab, omegas, files,
+                 functional, output_dir, samp, max_events, max_bars,
+                 batch_size, seed, play_midi):
+    """Render all (file, quadrant) jobs in device-batched groups."""
+    from .stage2_batch import Stage2BatchGenerator
+
+    jobs = []   # (path, emotion, midi_path)
+    for path in files:
+        out_name = '_'.join(os.path.basename(path).split('_')[:2])
+        for e in emotion_candidates_for_file(path):
+            midi_path = os.path.join(output_dir, out_name + '_' + e + '_full.mid')
+            if os.path.exists(midi_path):
+                print('[info] {} exists, skipping ...'.format(midi_path))
+                continue
+            jobs.append((path, e, midi_path))
+    if not jobs:
+        return {'pieces': 0, 'avg_secs': 0.0}
+
+    gen = Stage2BatchGenerator(model, params, vocab, batch=batch_size,
+                               temp=samp['temp'], top_p=samp['top_p'],
+                               max_events=max_events, max_bars=max_bars,
+                               omegas=omegas)
+    tempo_id = vocab.event2idx['Tempo_110']
+    n_ok = 0
+    times = []
+    for g0 in range(0, len(jobs), batch_size):
+        group = jobs[g0:g0 + batch_size]
+        pad = batch_size - len(group)
+        group_padded = group + [group[0]] * pad
+
+        primers, bars_per, keys = [], [], []
+        for path, e, _ in group_padded:
+            key, lead_bars = read_generated_events(path, vocab.event2idx)
+            keys.append(key)
+            bars_per.append([b for b in lead_bars][:max_bars])
+            emotion_id = vocab.event2idx['Emotion_{}'.format(e)]
+            if functional:
+                primers.append([emotion_id, vocab.event2idx[key], tempo_id])
+            else:
+                primers.append([emotion_id, tempo_id])
+
+        streams, stats = gen.generate(primers, bars_per,
+                                      seed=seed + g0, max_bars=max_bars)
+        times.append(stats['seconds'])
+        for i, (path, e, midi_path) in enumerate(group):
+            events = vocab.decode(streams[i])
+            bars = extract_midi_events_from_generation(
+                keys[i], events, relative_melody=functional)
+            events_to_midi(keys[i], list(chain(*bars[:max_bars])), 'full',
+                           output_midi_path=midi_path)
+            if play_midi:
+                from .audio import midi_to_wav
+                midi_to_wav(midi_path, midi_path[:-4] + '.wav')
+            n_ok += 1
+
+    print('[info] rendered {} full performances (batched x{})'.format(
+        n_ok, batch_size))
+    return {'pieces': n_ok, 'avg_secs': float(np.mean(times))}

@@ -1,0 +1,273 @@
+"""Batched stage-2 Performer generation: B performances in one device loop.
+
+The production pattern renders several arousal quadrants (and groups) from
+lead sheets simultaneously.  Because the Performer's decode state is the
+per-layer FAVOR+ (S, z) pair — no positional KV cache — every batch element
+can run its own token stream with a private position counter, so sampling
+AND the per-bar teacher-forced lead-sheet injection unify into a single
+``lax.while_loop``:
+
+* each element is either SAMPLING the full track or INJECTING the next
+  lead-sheet bar from a precomputed token matrix;
+* rejected samples (beat monotonicity, PAD, early EOS) keep that element's
+  state/logits unchanged and resample — exactly the reference's
+  recompute-identical-window retry (``stage2_accompaniment/inference.py:
+  279-291``) — while other elements proceed;
+* the loop ends when every element is done.
+
+This removes all host round-trips of the host-orchestrated
+:class:`~emo_disentanger_tpu.infer.stage2.Stage2Generator` (still used for
+GPT-2, whose KV cache needs a shared write clock).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.vocab import Vocab
+from ..models.performer import MusicPerformer
+from ..ops.sampling import nucleus_sample
+from .rules import build_rule_tables
+
+STATUS_RUNNING = 0
+STATUS_EOS = 2
+STATUS_MAX = 3
+STATUS_STUCK = 4
+STATUS_DONE_BARS = 5
+
+MODE_SAMPLE = 0
+MODE_INJECT = 1
+
+
+class Stage2BatchGenerator:
+    """One compiled whole-batch generation loop for the Performer."""
+
+    def __init__(self, model: MusicPerformer, params, vocab: Vocab, *,
+                 batch: int, temp: float = 1.1, top_p: float = 0.99,
+                 max_events: int = 10000, max_bar_tokens: int = 256,
+                 max_bars: int = 128,
+                 omegas: Optional[jax.Array] = None):
+        assert isinstance(model, MusicPerformer)
+        if omegas is None:
+            raise ValueError('Performer decoding needs drawn omegas')
+        self.model = model
+        self.params = params
+        self.vocab = vocab
+        self.batch = batch
+        self.temp = temp
+        self.top_p = top_p
+        self.max_events = max_events
+        self.max_bar_tokens = max_bar_tokens
+        self.max_bars = max_bars
+        self.omegas = omegas
+        self.tables = build_rule_tables(vocab)
+        self._loop = jax.jit(self._make_loop())
+
+    def _make_loop(self):
+        tb = self.tables
+        is_beat = jnp.asarray(tb.is_beat)
+        beat_pos = jnp.asarray(tb.beat_pos)
+        is_pad = jnp.asarray(tb.is_pad)
+        is_eos = jnp.asarray(tb.is_eos)
+        is_lead = jnp.asarray(tb.is_track_lead)
+        B = self.batch
+        sample_v = jax.vmap(nucleus_sample, in_axes=(0, 0, None, None))
+        max_iters = self.max_events * 2 + 8192
+
+        def loop(inj_tokens, inj_segs, inj_len, primer, primer_len,
+                 target_bars, rng):
+            """inj_tokens/segs [B, max_bars, max_bar_tokens]; inj_len [B, max_bars];
+            primer [B, P]; primer_len [B]; n_bars/target_bars [B]."""
+            P = primer.shape[1]
+            state = self.model.apply(self.params, B,
+                                     method=MusicPerformer.init_decode_state)
+            out = jnp.zeros((B, self.max_events + 8), jnp.int32)
+            out = jax.lax.dynamic_update_slice(out, primer, (0, 0))
+
+            s = dict(
+                state=state,
+                logits=jnp.zeros((B, self.vocab.size), jnp.float32),
+                t=jnp.zeros((B,), jnp.int32),          # per-element position
+                out=out,
+                out_len=primer_len.astype(jnp.int32),
+                mode=jnp.full((B,), MODE_INJECT, jnp.int32),
+                # phase -1 = still feeding the primer
+                primer_pos=jnp.zeros((B,), jnp.int32),
+                in_primer=jnp.ones((B,), jnp.bool_),
+                bars=jnp.zeros((B,), jnp.int32),
+                inj_pos=jnp.zeros((B,), jnp.int32),
+                cur_pos=jnp.zeros((B,), jnp.int32),
+                failed=jnp.zeros((B,), jnp.int32),
+                status=jnp.full((B,), STATUS_RUNNING, jnp.int32),
+                iters=jnp.int32(0),
+                rng=rng,
+            )
+
+            def running(s):
+                return s['status'] == STATUS_RUNNING
+
+            def cond(s):
+                return jnp.any(running(s)) & (s['iters'] < max_iters)
+
+            def body(s):
+                rng, sub = jax.random.split(s['rng'])
+                keys = jax.random.split(sub, B)
+                act = running(s)
+
+                # --- choose this step's token per element ---
+                sampled = sample_v(keys, s['logits'], self.temp, self.top_p)
+                prim_tok = jnp.take_along_axis(
+                    primer, jnp.clip(s['primer_pos'], 0, primer.shape[1] - 1)
+                    [:, None], axis=1)[:, 0]
+                bar_idx = jnp.minimum(s['bars'], inj_tokens.shape[1] - 1)
+                inj_tok = inj_tokens[jnp.arange(B), bar_idx,
+                                     jnp.minimum(s['inj_pos'],
+                                                 self.max_bar_tokens - 1)]
+                inj_seg = inj_segs[jnp.arange(B), bar_idx,
+                                   jnp.minimum(s['inj_pos'],
+                                               self.max_bar_tokens - 1)]
+
+                injecting = (s['mode'] == MODE_INJECT) & ~s['in_primer']
+                token = jnp.where(s['in_primer'], prim_tok,
+                                  jnp.where(injecting, inj_tok, sampled))
+                seg = jnp.where(s['in_primer'], 0,
+                                jnp.where(injecting, inj_seg,
+                                          jnp.where(is_lead[token], 0, 1)))
+
+                # --- sampling rules (only in SAMPLE mode) ---
+                sampling = (s['mode'] == MODE_SAMPLE) & ~s['in_primer']
+                beat_bad = sampling & is_beat[token] & (beat_pos[token] < s['cur_pos'])
+                eos_early = sampling & is_eos[token] & (s['bars'] < target_bars - 1)
+                reject = (beat_bad | (sampling & is_pad[token]) | eos_early) & act
+                failed = jnp.where(beat_bad & act, s['failed'] + 1,
+                                   jnp.where(sampling & is_beat[token] & act,
+                                             0, s['failed']))
+                stuck = failed >= 256
+
+                advance = act & ~reject
+                # --- run the model for everyone; merge per element ---
+                new_logits, new_state = self.model.apply(
+                    self.params, token, seg, s['t'], self.omegas, s['state'],
+                    method=MusicPerformer.decode_step_batchpos)
+                state = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(
+                        advance.reshape((1, B) + (1,) * (new.ndim - 2)),
+                        new, old),
+                    new_state, s['state'])
+                logits = jnp.where(advance[:, None], new_logits, s['logits'])
+                t = s['t'] + advance.astype(jnp.int32)
+
+                # --- bookkeeping ---
+                append = advance & ~s['in_primer']
+                idx = jnp.minimum(s['out_len'], self.max_events + 7)
+                out = jnp.where(
+                    append[:, None],
+                    s['out'].at[jnp.arange(B), idx].set(token), s['out'])
+                out_len = s['out_len'] + append.astype(jnp.int32)
+
+                # primer progress
+                primer_pos = s['primer_pos'] + (advance & s['in_primer'])
+                in_primer = s['in_primer'] & (primer_pos < primer_len)
+
+                # injection progress: entering inject rows resets cur_pos
+                bar_len = inj_len[jnp.arange(B), bar_idx]
+                inj_pos = jnp.where(injecting & advance, s['inj_pos'] + 1,
+                                    s['inj_pos'])
+                inj_done = injecting & advance & (inj_pos >= bar_len)
+                mode = jnp.where(inj_done, MODE_SAMPLE, s['mode'])
+                cur_pos = jnp.where(inj_done, 0, s['cur_pos'])
+
+                # sampled Track_LeadSheet: bar finished -> inject next
+                bar_done = sampling & advance & is_lead[token]
+                bars = s['bars'] + bar_done.astype(jnp.int32)
+                more = bars < target_bars
+                mode = jnp.where(bar_done & more, MODE_INJECT, mode)
+                inj_pos = jnp.where(bar_done, 0, inj_pos)
+
+                cur_pos = jnp.where(sampling & advance & is_beat[token],
+                                    beat_pos[token], cur_pos)
+
+                eos_final = sampling & advance & is_eos[token] & ~eos_early
+                status = jnp.where(act & stuck, STATUS_STUCK, s['status'])
+                status = jnp.where(act & eos_final, STATUS_EOS, status)
+                status = jnp.where(act & (out_len > self.max_events),
+                                   STATUS_MAX, status)
+                status = jnp.where(act & bar_done & ~more, STATUS_DONE_BARS,
+                                   status)
+
+                return dict(state=state, logits=logits, t=t, out=out,
+                            out_len=out_len, mode=mode, primer_pos=primer_pos,
+                            in_primer=in_primer, bars=bars, inj_pos=inj_pos,
+                            cur_pos=cur_pos, failed=failed, status=status,
+                            iters=s['iters'] + 1, rng=rng)
+
+            s = jax.lax.while_loop(cond, body, s)
+            return s['out'], s['out_len'], s['status'], s['bars']
+
+        return loop
+
+    def generate(self, primers: Sequence[Sequence[int]],
+                 lead_sheet_bars: Sequence[List[List[int]]], *,
+                 seed: int = 0, max_bars: Optional[int] = None,
+                 ) -> Tuple[List[List[int]], dict]:
+        """primers: B token lists; lead_sheet_bars: B lists of per-bar token
+        lists.  Returns B token streams (each dropping its final token, as
+        the reference does)."""
+        B = self.batch
+        assert len(primers) == B and len(lead_sheet_bars) == B
+        track_full = self.vocab.event2idx['Track_Full']
+        track_lead = self.vocab.event2idx['Track_LeadSheet']
+
+        # static injection-matrix shape so the loop compiles once per batch
+        n_bars_max = self.max_bars
+        assert max(len(bars) for bars in lead_sheet_bars) <= n_bars_max
+        inj_tokens = np.zeros((B, n_bars_max, self.max_bar_tokens), np.int32)
+        inj_segs = np.zeros((B, n_bars_max, self.max_bar_tokens), np.int32)
+        inj_len = np.zeros((B, n_bars_max), np.int32)
+        target_bars = np.zeros(B, np.int32)
+        prim_rows = []
+        for b, (primer, bars) in enumerate(zip(primers, lead_sheet_bars)):
+            tb = len(bars) if max_bars is None else min(max_bars, len(bars))
+            target_bars[b] = tb
+            for k, bar in enumerate(bars):
+                # injection row = [Track_LeadSheet]? no: the sampled
+                # Track_LeadSheet opens the bar; inject bar events + Track_Full
+                row = list(bar) + [track_full]
+                row = row[:self.max_bar_tokens]
+                inj_tokens[b, k, :len(row)] = row
+                inj_segs[b, k, :len(row)] = [0] * (len(row) - 1) + [1]
+                inj_len[b, k] = len(row)
+            # the primer phase feeds primer + Track_LeadSheet, then bar 0
+            # injection row follows; all appear in the output stream
+            prim_rows.append(list(primer) + [track_lead])
+
+        pmax = max(16, max(len(p) for p in prim_rows))   # static primer pad
+        primer_arr = np.zeros((B, pmax), np.int32)
+        primer_len = np.zeros(B, np.int32)
+        for b, p in enumerate(prim_rows):
+            primer_arr[b, :len(p)] = p
+            primer_len[b] = len(p)
+
+        t0 = time.time()
+        out, out_len, status, bars = self._loop(
+            jnp.asarray(inj_tokens), jnp.asarray(inj_segs),
+            jnp.asarray(inj_len), jnp.asarray(primer_arr),
+            jnp.asarray(primer_len), jnp.asarray(target_bars),
+            jax.random.PRNGKey(seed))
+        out = np.asarray(out)
+        out_len = np.asarray(out_len)
+        secs = time.time() - t0
+
+        streams = []
+        for b in range(B):
+            toks = out[b, :out_len[b]].tolist()
+            streams.append(toks[:-1])
+        stats = {'seconds': secs, 'status': np.asarray(status).tolist(),
+                 'bars': np.asarray(bars).tolist(),
+                 'events': out_len.tolist()}
+        return streams, stats

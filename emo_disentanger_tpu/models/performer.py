@@ -202,6 +202,28 @@ class MusicPerformer(nn.Module):
         logits = self.out_proj(h.astype(jnp.float32))[:, 0]
         return logits, {'S': S_all, 'z': z_all}
 
+    def decode_step_batchpos(self, token: jax.Array, seg: jax.Array,
+                             t: jax.Array, omegas: jax.Array,
+                             state: Dict[str, jax.Array],
+                             ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """Like :meth:`decode_step` but with a PER-ELEMENT position ``t``
+        [B] — used by the batched generator where each song advances its own
+        clock (linear-attention state carries no positions, only the
+        sinusoidal PE lookup differs)."""
+        emb = self.token_emb(token[:, None])
+        if self.use_segment_emb:
+            emb = emb + self.segemb(seg[:, None])
+        if self.use_pe:
+            pe = sinusoid_position_encoding(self.max_len, self.d_embed)
+            pe_rows = jnp.take(pe, jnp.clip(t, 0, self.max_len - 1), axis=0)
+            emb = emb + pe_rows[:, None, :].astype(emb.dtype)
+        h = emb
+        S_all, z_all = state['S'], state['z']
+        for i, layer in enumerate(self.layers):
+            h, S_all, z_all = layer.decode_step(h, omegas[i], i, S_all, z_all)
+        logits = self.out_proj(h.astype(jnp.float32))[:, 0]
+        return logits, {'S': S_all, 'z': z_all}
+
     def compute_loss(self, logits, targets):
         """CE ignoring PAD (= n_token - 1), reference
         ``music_performer.py:72-81``."""

@@ -1,0 +1,56 @@
+"""Batched stage-2 Performer generation: structure of each stream must match
+the single-song generator's semantics (teacher-forced bars verbatim, segments
+correct, deterministic under seed)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tests_vocab_helper import tiny_vocab2
+from emo_disentanger_tpu.models import MusicPerformer
+from emo_disentanger_tpu.infer.stage2_batch import Stage2BatchGenerator
+
+
+def test_batched_stage2_generation():
+    vocab = tiny_vocab2()
+    small = dict(n_layer=2, n_head=2, d_model=32, d_ff=64, d_embed=32,
+                 dropout=0.0)
+    model = MusicPerformer(n_token=vocab.size, favor_dims=16, **small)
+    omegas = model.draw_omegas(jax.random.PRNGKey(5))
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        omegas, jnp.zeros((1, 8), jnp.int32))
+
+    bar = [vocab.event2idx[e] for e in
+           ['Bar_None', 'Beat_0', 'Chord_I_M', 'Note_Octave_5',
+            'Note_Degree_I', 'Note_Duration_480']]
+    primer_q1 = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
+                 vocab.event2idx['Tempo_110']]
+    primer_q2 = [vocab.event2idx['Emotion_Q2'], vocab.event2idx['Key_c'],
+                 vocab.event2idx['Tempo_110']]
+
+    B = 4
+    gen = Stage2BatchGenerator(model, params, vocab, batch=B, temp=1.1,
+                               top_p=0.99, max_events=150, max_bar_tokens=32,
+                               omegas=omegas)
+    primers = [primer_q1, primer_q2, primer_q1, primer_q2]
+    bars_per = [[list(bar)] * 2, [list(bar)] * 3, [list(bar)] * 2,
+                [list(bar)] * 3]
+    streams, stats = gen.generate(primers, bars_per, seed=3)
+
+    assert len(streams) == B
+    track_lead = 'Track_LeadSheet'
+    for b, stream in enumerate(streams):
+        evs = vocab.decode(stream)
+        # stream starts with its primer + Track_LeadSheet + bar 0 verbatim
+        assert evs[:3] == vocab.decode(primers[b])
+        assert evs[3] == track_lead
+        bar_evs = vocab.decode(bars_per[b][0])
+        assert evs[4:4 + len(bar_evs)] == bar_evs
+        assert evs[4 + len(bar_evs)] == 'Track_Full'
+        assert 'PAD_None' not in evs
+
+    # deterministic
+    streams2, _ = gen.generate(primers, bars_per, seed=3)
+    assert streams == streams2
+    streams3, _ = gen.generate(primers, bars_per, seed=4)
+    assert streams3 != streams or stats['status'] is not None
