@@ -23,6 +23,8 @@ def main(argv=None):
     parser.add_argument('-p', '--play_midi', default=False, action='store_true')
     parser.add_argument('-n', '--n_groups', default=20)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--batch', type=int, default=0,
+                        help='songs decoded per device call')
     args = parser.parse_args(argv)
 
     from ..infer import run_stage1
@@ -31,7 +33,8 @@ def main(argv=None):
                           inference_params=args.inference_params,
                           output_dir=args.output_dir,
                           n_groups=int(args.n_groups),
-                          play_midi=args.play_midi, seed=args.seed)
+                          play_midi=args.play_midi, seed=args.seed,
+                          batch_size=args.batch)
 
 
 if __name__ == '__main__':

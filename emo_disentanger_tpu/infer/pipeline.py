@@ -34,6 +34,10 @@ def roman_events_to_absolute(key: str, events: List[str]) -> List[str]:
             octave = int(ev.split('_')[2])
         elif ev.startswith('Note_Degree'):
             roman = ev.split('_')[2]
+            if octave is None:
+                # degenerate stream (Degree before any Octave): the reference
+                # would crash on an unbound variable; default to mid octave
+                octave = 5
             pitch = degree2pitch(keyname, octave, roman)
             pitch = min(108, max(21, pitch))
             out.append('Note_Pitch_{}'.format(pitch))

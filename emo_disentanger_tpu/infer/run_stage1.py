@@ -48,7 +48,11 @@ def run(config_path: str, representation: str, mode: str, *,
         play_midi: bool = False, seed: int = 0,
         max_events_override: Optional[int] = None,
         max_bars_override: Optional[int] = None,
-        prompts: Optional[List] = None) -> dict:
+        prompts: Optional[List] = None,
+        batch_size: int = 0) -> dict:
+    """``batch_size > 0`` decodes that many songs per device call via
+    :class:`..infer.stage1_batch.Stage1BatchGenerator` (single-emotion-token
+    primers only; prompt mode falls back to the sequential path)."""
     config = load_yaml(config_path)
     params_cfg = MODE_PARAMS[mode]
     functional = representation == 'functional'
@@ -62,64 +66,89 @@ def run(config_path: str, representation: str, mode: str, *,
     params = load_pretrained_params(inference_params, params,
                                     n_layer=config['model']['decoder']['n_layer'])
 
-    generator = Stage1Generator(
-        model, params, vocab,
-        temp=params_cfg['temp'], top_p=params_cfg['top_p'],
-        max_events=max_events_override or params_cfg['max_dec_len'],
-        max_bars=max_bars_override or MAX_BARS,
-        functional=functional)
+    max_events = max_events_override or params_cfg['max_dec_len']
+    max_bars = max_bars_override or MAX_BARS
 
-    gen_times = []
-    n_ok = 0
+    # collect the pending (group, emotion) jobs (idempotent skip)
+    jobs = []
     for group in range(n_groups):
         for emotion in params_cfg['emotions']:
             out_name = 'samp_{:02d}_{}'.format(group, emotion)
-            midi_path = os.path.join(output_dir, out_name + '.mid')
-            if os.path.exists(midi_path):
+            if os.path.exists(os.path.join(output_dir, out_name + '.mid')):
                 print('[info] {} exists, skipping ...'.format(out_name))
                 continue
+            jobs.append((group, emotion, out_name))
 
+    results = {}   # out_name -> (events, seconds)
+    if batch_size > 0 and prompts is None and jobs:
+        from .stage1_batch import Stage1BatchGenerator
+        bgen = Stage1BatchGenerator(
+            model, params, vocab, batch=batch_size,
+            temp=params_cfg['temp'], top_p=params_cfg['top_p'],
+            max_events=max_events, max_bars=max_bars, functional=functional)
+        for g0 in range(0, len(jobs), batch_size):
+            group_jobs = jobs[g0:g0 + batch_size]
+            padded = group_jobs + [group_jobs[0]] * (batch_size - len(group_jobs))
+            songs, stats = bgen.generate([j[1] for j in padded],
+                                         seed=seed + g0)
+            for i, (group, emotion, out_name) in enumerate(group_jobs):
+                results[out_name] = (songs[i],
+                                     stats['seconds'] / max(len(group_jobs), 1))
+    else:
+        generator = Stage1Generator(
+            model, params, vocab,
+            temp=params_cfg['temp'], top_p=params_cfg['top_p'],
+            max_events=max_events, max_bars=max_bars, functional=functional)
+        for group, emotion, out_name in jobs:
             primer = None
             target_bars = None
             if prompts is not None:
                 prompt_evs, target_bars = prompts[group]
                 primer = ['Emotion_{}'.format(emotion)] + prompt_evs[1:]
-
             events, stats = generator.generate(
                 emotion, seed=seed + group * 131 + hash(emotion) % 1000,
                 primer_events=primer, target_bars=target_bars)
-            if events is None:
-                print('[FATAL] model stuck on {}'.format(out_name))
-                continue
-            gen_times.append(stats['seconds'])
+            results[out_name] = (events, stats['seconds'])
 
-            key = 'Key_C'
-            for ev in events:
-                if 'Key' in ev:
-                    key = ev
-            if functional:
-                events_roman = events[1:]
-                events_abs = roman_events_to_absolute(key, events)[1:]
-            else:
-                events_roman = None
-                events_abs = events[1:]
+    gen_times = []
+    n_ok = 0
+    for group, emotion, out_name in jobs:
+        if out_name not in results:
+            continue
+        events, secs = results[out_name]
+        midi_path = os.path.join(output_dir, out_name + '.mid')
+        if events is None:
+            print('[FATAL] model stuck on {}'.format(out_name))
+            continue
+        gen_times.append(secs)
 
-            if mode == 'lead_sheet':
-                events_to_midi(key, events_abs, mode,
-                               output_midi_path=midi_path, play_chords=True,
-                               enforce_tempo=True,
-                               enforce_tempo_evs=[TempoEvent(110, 0, 0)])
-            else:
-                events_to_midi(key, events_abs, mode, output_midi_path=midi_path)
-            events_to_txt(events_abs, os.path.join(output_dir, out_name + '.txt'))
-            if functional:
-                events_to_txt(events_roman,
-                              os.path.join(output_dir, out_name + '_roman.txt'))
-            if play_midi:
-                from .audio import midi_to_wav
-                midi_to_wav(midi_path,
-                            os.path.join(output_dir, out_name + '.wav'))
-            n_ok += 1
+        key = 'Key_C'
+        for ev in events:
+            if 'Key' in ev:
+                key = ev
+        if functional:
+            events_roman = events[1:]
+            events_abs = roman_events_to_absolute(key, events)[1:]
+        else:
+            events_roman = None
+            events_abs = events[1:]
+
+        if mode == 'lead_sheet':
+            events_to_midi(key, events_abs, mode,
+                           output_midi_path=midi_path, play_chords=True,
+                           enforce_tempo=True,
+                           enforce_tempo_evs=[TempoEvent(110, 0, 0)])
+        else:
+            events_to_midi(key, events_abs, mode, output_midi_path=midi_path)
+        events_to_txt(events_abs, os.path.join(output_dir, out_name + '.txt'))
+        if functional:
+            events_to_txt(events_roman,
+                          os.path.join(output_dir, out_name + '_roman.txt'))
+        if play_midi:
+            from .audio import midi_to_wav
+            midi_to_wav(midi_path,
+                        os.path.join(output_dir, out_name + '.wav'))
+        n_ok += 1
 
     summary = {'pieces': n_ok,
                'avg_secs': float(np.mean(gen_times)) if gen_times else 0.0,

@@ -36,26 +36,6 @@ from .embeddings import (
 NEG_INF = -1e30
 
 
-def decode_buckets(max_klen: int, min_bucket: int = 256):
-    """Prefix bucket sizes for decode attention: powers of two up to the
-    cache length.  Each step attends only over the smallest bucket covering
-    position t, cutting HBM traffic early in a song."""
-    buckets = []
-    b = min(min_bucket, max_klen)
-    while b < max_klen:
-        buckets.append(b)
-        b *= 2
-    buckets.append(max_klen)
-    return buckets
-
-
-def bucket_index(t: jax.Array, buckets) -> jax.Array:
-    idx = jnp.int32(0)
-    for b in buckets[:-1]:
-        idx = idx + (t + 1 > b).astype(jnp.int32)
-    return idx
-
-
 def _rel_shift(x: jax.Array) -> jax.Array:
     """Transformer-XL relative shift: [B, H, Q, K] -> [B, H, Q, K] so that
     entry (i, j) picks the score at distance (mlen + i - j)."""

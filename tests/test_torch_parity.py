@@ -194,3 +194,37 @@ def test_gpt2_converter_and_block_semantics(tmp_path):
     got = model.apply(params, jnp.asarray(toks), jnp.asarray(seg))
     np.testing.assert_allclose(np.asarray(got), expect.numpy(),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_stage1_mems_segments_match(stage1_pair):
+    """Two-segment XL training forward (mems recurrence) vs the reference."""
+    ref, model, params, path = stage1_pair
+    m = ref_loader.load_stage1_models()
+    ref_mem = m.plain_transformer.PlainTransformer(
+        32, V, 2, 2, 32, 64, 12, 12, dec_dropout=0.0, pre_lnorm=True)
+    ref_mem.load_state_dict(torch.load(path, weights_only=True))
+    ref_mem.eval()
+
+    model_mem = PlainTransformer(vocab_size=V, d_embed=32, n_layer=2,
+                                 n_head=2, d_model=32, d_ff=64, dropout=0.0,
+                                 pre_lnorm=True, mem_len=12)
+
+    rng = np.random.RandomState(7)
+    seg1 = rng.randint(0, V - 1, size=(2, 12))
+    seg2 = rng.randint(0, V - 1, size=(2, 12))
+
+    with torch.no_grad():
+        out1 = ref_mem(torch.from_numpy(seg1.T), tuple())
+        t_logits1, t_mems = out1[0], out1[1:]
+        out2 = ref_mem(torch.from_numpy(seg2.T), t_mems)
+        t_logits2 = out2[0]
+
+    j_logits1, j_mems = model_mem.apply(params, jnp.asarray(seg1))
+    j_logits2, _ = model_mem.apply(params, jnp.asarray(seg2), j_mems)
+
+    np.testing.assert_allclose(np.asarray(j_logits1),
+                               t_logits1.numpy().transpose(1, 0, 2),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(j_logits2),
+                               t_logits2.numpy().transpose(1, 0, 2),
+                               rtol=2e-3, atol=2e-3)
