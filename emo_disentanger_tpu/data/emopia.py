@@ -223,17 +223,20 @@ def quantize_to_corpus(midi: MidiFile) -> Corpus:
     shift_ticks = offset_bars * BAR_RESOL
 
     # notes: velocity/shift binning, duration rounding (cap 1 bar, drop 0)
-    for n in notes:
-        start = n.start - shift_ticks
-        qt = quantize_tick(start)
-        velocity = nearest_bin(DEFAULT_VELOCITY_BINS, n.velocity)
-        shift = nearest_bin(DEFAULT_SHIFT_BINS, start - qt)
-        duration = min(n.end - n.start, BAR_RESOL)
-        duration = quantize_tick(duration)
-        if duration == 0:
+    # — batch quantization through the native C++ kernel (numpy fallback)
+    from .. import native
+    starts = np.asarray([n.start for n in notes], dtype=np.int64)
+    ends = np.asarray([n.end for n in notes], dtype=np.int64)
+    vels = np.asarray([n.velocity for n in notes], dtype=np.int64)
+    qts, durs, vbins, shifts = native.quantize_notes(
+        starts, ends, vels, shift_ticks, TICK_RESOL, BAR_RESOL,
+        DEFAULT_VELOCITY_BINS, DEFAULT_SHIFT_BINS)
+    for i, n in enumerate(notes):
+        if durs[i] < 0:          # duration rounded to zero: dropped
             continue
-        corpus.notes.setdefault(qt, []).append(
-            QuantNote(pitch=n.pitch, velocity=velocity, duration=duration, shift=shift))
+        corpus.notes.setdefault(int(qts[i]), []).append(
+            QuantNote(pitch=n.pitch, velocity=int(vbins[i]),
+                      duration=int(durs[i]), shift=int(shifts[i])))
 
     # chords: quantize, keep the last non-Conti marker per grid cell
     chord_grid: Dict[int, List[Marker]] = {}

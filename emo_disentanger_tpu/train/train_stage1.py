@@ -53,8 +53,12 @@ def neutralize_pad_rows(batch: dict, batch_size: int, pad_id: int) -> dict:
 
 
 def build_model_and_params(config: dict, vocab: Vocab, rng_seed: int = 0,
-                           dtype=jnp.float32):
+                           dtype=None):
     mconf = config['model']
+    if dtype is None:
+        # optional 'compute_dtype: bfloat16' config key (params stay f32)
+        dtype = jnp.bfloat16 if config.get('compute_dtype') == 'bfloat16' \
+            else jnp.float32
     model = PlainTransformer(
         vocab_size=vocab.size,
         d_embed=mconf['d_word_embed'],

@@ -35,8 +35,11 @@ from .train_stage1 import neutralize_pad_rows
 
 
 def build_model_and_params(config: dict, vocab: Vocab, model_type: str,
-                           rng_seed: int = 0, dtype=jnp.float32):
+                           rng_seed: int = 0, dtype=None):
     mconf = config['model']
+    if dtype is None:
+        dtype = jnp.bfloat16 if config.get('compute_dtype') == 'bfloat16' \
+            else jnp.float32
     common = dict(
         n_token=vocab.size, n_layer=mconf['n_layer'], n_head=mconf['n_head'],
         d_model=mconf['d_model'], d_ff=mconf['d_ff'], d_embed=mconf['d_embed'],
