@@ -65,12 +65,27 @@ class GPT2Block(nn.Module):
         q, k, v = self._heads(q, L), self._heads(k, L), self._heads(v, L)
 
         scale = 1.0 / (self.d_head ** 0.5)
-        scores = jnp.einsum('bihd,bjhd->bhij', q, k) * scale
-        mask = jnp.tril(jnp.ones((L, L), dtype=bool))
-        scores = jnp.where(mask[None, None], scores, NEG_INF)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
-        probs = self.attn_drop(probs, deterministic=deterministic)
-        attn = jnp.einsum('bhij,bjhd->bihd', probs, v).reshape(B, L, self.d_model)
+        if deterministic and jax.default_backend() == 'tpu' and L >= 512 \
+                and L % 128 == 0:
+            # fused flash attention for deterministic full forwards
+            # (eval / decode prefill / window re-anchor); training keeps the
+            # einsum path because the reference applies attention dropout
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention)
+            attn = flash_attention(
+                q.swapaxes(1, 2).astype(jnp.float32),
+                k.swapaxes(1, 2).astype(jnp.float32),
+                v.swapaxes(1, 2).astype(jnp.float32),
+                causal=True, sm_scale=scale)
+            attn = attn.swapaxes(1, 2).astype(x.dtype).reshape(B, L, self.d_model)
+        else:
+            scores = jnp.einsum('bihd,bjhd->bhij', q, k) * scale
+            mask = jnp.tril(jnp.ones((L, L), dtype=bool))
+            scores = jnp.where(mask[None, None], scores, NEG_INF)
+            probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                   axis=-1).astype(scores.dtype)
+            probs = self.attn_drop(probs, deterministic=deterministic)
+            attn = jnp.einsum('bhij,bjhd->bihd', probs, v).reshape(B, L, self.d_model)
         x = x + self.resid_drop(self.attn_proj(attn), deterministic=deterministic)
 
         h = self.ln_2(x)
