@@ -71,12 +71,14 @@ class Stage1Dataset:
                  model_dec_seqlen: int = 2400,
                  model_max_bars: int = 192,
                  do_augment: bool = False,
+                 max_n_seg: int = 1,
                  seed: int = 0):
         self.vocab = vocab
         self.pad_id = vocab.pad_id
         self.model_dec_seqlen = model_dec_seqlen
         self.model_max_bars = model_max_bars
         self.do_augment = do_augment
+        self.max_n_seg = max_n_seg
         self.rng = np.random.RandomState(seed)
 
         if pieces:
@@ -103,18 +105,25 @@ class Stage1Dataset:
             self.piece_bar_pos.append(bar_pos)
             self.piece_events.append([event_str(e) for e in evs])
 
-        # single segment per piece, truncated when too long
-        # (all reference configs set max_n_seg=1)
-        self.piece_segment: List[Tuple[int, int]] = []
+        # segment registration (reference ``register_segments``,
+        # ``dataloader.py:386-406``): a first segment truncated at the
+        # sequence budget, plus — when max_n_seg > 1 — the remainder as a
+        # second segment trained with XL memory recurrence
+        self.piece_segments: List[List[Tuple[int, int]]] = []
         for bar_pos in self.piece_bar_pos:
-            seg = None
+            segs: List[Tuple[int, int]] = []
             st_bar = 0
             for b in range(len(bar_pos) - 1):
                 if bar_pos[b + 1] - bar_pos[st_bar] > self.model_dec_seqlen - 1:
                     if b > st_bar:
-                        seg = (st_bar, b)
+                        segs.append((st_bar, b))
+                        st_bar = b
                         break
-            self.piece_segment.append(seg if seg is not None else (0, len(bar_pos) - 1))
+            if len(segs) < self.max_n_seg:
+                segs.append((st_bar, len(bar_pos) - 1))
+            self.piece_segments.append(segs)
+        # back-compat single-segment view
+        self.piece_segment = [segs[0] for segs in self.piece_segments]
 
     def __len__(self) -> int:
         return len(self.paths)
@@ -129,7 +138,7 @@ class Stage1Dataset:
         events[1] = 'Key_{}'.format(self.rng.choice(pool))
         return events
 
-    def __getitem__(self, idx: int) -> Stage1Sample:
+    def _piece_tokens(self, idx: int):
         bar_pos = self.piece_bar_pos[idx]
         events = self.piece_events[idx][:bar_pos[-1]]
         # short pieces close with EOS, capped ones with a fresh Bar
@@ -138,11 +147,25 @@ class Stage1Dataset:
                            else ['Bar_None'])
         if self.do_augment:
             events = self._key_augment(events)
-        tokens = self.vocab.encode(events)
+        return events, self.vocab.encode(events)
 
-        st_bar, ed_bar = self.piece_segment[idx]
-        prefix = bar_pos[st_bar]                       # reference sample_st_idx
-        seg_st = bar_pos[st_bar] - prefix              # == 0
+    def __getitem__(self, idx: int) -> Stage1Sample:
+        return self.segments_of(idx)[0]
+
+    def segments_of(self, idx: int) -> List[Stage1Sample]:
+        """All registered segments of a piece (reference
+        ``get_decoder_input_data``, ``dataloader.py:469-520``; the shared
+        ``sample_st_idx`` offset comes from the FIRST segment's start bar)."""
+        events, tokens = self._piece_tokens(idx)
+        bar_pos = self.piece_bar_pos[idx]
+        segs = self.piece_segments[idx]
+        prefix = bar_pos[segs[0][0]]                   # reference sample_st_idx
+        return [self._build_sample(idx, events, tokens, bar_pos, st, ed, prefix)
+                for st, ed in segs]
+
+    def _build_sample(self, idx, events, tokens, bar_pos, st_bar, ed_bar,
+                      prefix) -> Stage1Sample:
+        seg_st = bar_pos[st_bar] - prefix
         seg_ed = bar_pos[ed_bar] - prefix + 1
 
         inp = np.asarray(tokens[seg_st:seg_ed], dtype=np.int32)
@@ -190,6 +213,35 @@ class Stage1Dataset:
                 'inp_chord': np.stack([s.inp_chord for s in samples]),
                 'inp_melody': np.stack([s.inp_melody for s in samples]),
             }
+
+    def segment_batches(self, batch_size: int, shuffle: bool = True,
+                        ) -> Iterator[Dict[str, np.ndarray]]:
+        """Multi-segment batches for XL-memory training: arrays are
+        [B, max_n_seg, L]; absent segments are full-PAD with seg_len 0
+        (the reference collate's padding, ``dataloader.py:236-245``)."""
+        L = self.model_dec_seqlen
+        order = np.arange(len(self))
+        if shuffle:
+            self.rng.shuffle(order)
+        for i in range(0, len(order), batch_size):
+            idxs = order[i:i + batch_size]
+            B = len(idxs)
+            S = self.max_n_seg
+            out = {
+                'dec_inp': np.full((B, S, L), self.pad_id, np.int32),
+                'dec_tgt': np.full((B, S, L), self.pad_id, np.int32),
+                'inp_chord': np.zeros((B, S, L), np.int32),
+                'inp_melody': np.zeros((B, S, L), np.int32),
+                'seg_len': np.zeros((B, S), np.int32),
+            }
+            for bi, j in enumerate(idxs):
+                for si, s in enumerate(self.segments_of(int(j))[:S]):
+                    out['dec_inp'][bi, si] = s.dec_inp
+                    out['dec_tgt'][bi, si] = s.dec_tgt
+                    out['inp_chord'][bi, si] = s.inp_chord
+                    out['inp_melody'][bi, si] = s.inp_melody
+                    out['seg_len'][bi, si] = s.length
+            yield out
 
 
 # ---------------------------------------------------------------------------

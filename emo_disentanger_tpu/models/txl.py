@@ -254,12 +254,15 @@ class PlainTransformer(nn.Module):
     def __call__(self, tokens: jax.Array,
                  mems: Optional[List[jax.Array]] = None,
                  *, deterministic: bool = True,
+                 return_hiddens: bool = False,
                  ) -> Tuple[jax.Array, Optional[List[jax.Array]]]:
         """tokens [B, L] -> (logits [B, L, V], new_mems).
 
         ``mems``: optional list of n_layer+1 hidden-state memories
         [B, mlen, D] (XL segment recurrence).  new_mems is returned when
-        ``self.mem_len > 0``.
+        ``self.mem_len > 0``.  ``return_hiddens`` additionally returns the
+        per-layer hidden inputs (for the variable-length memory update of
+        multi-segment training, reference ``_update_mems`` dec_seg_len path).
         """
         B, L = tokens.shape
         mlen = mems[0].shape[1] if mems is not None else 0
@@ -295,6 +298,8 @@ class PlainTransformer(nn.Module):
                 cat = hids[idx] if mems is None else \
                     jnp.concatenate([mems[idx].astype(hids[idx].dtype), hids[idx]], axis=1)
                 new_mems.append(jax.lax.stop_gradient(cat[:, -self.mem_len:]))
+        if return_hiddens:
+            return logits, new_mems, hids
         return logits, new_mems
 
     # ------------------------------------------------------------ decode

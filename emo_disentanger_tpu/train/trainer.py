@@ -153,6 +153,46 @@ def stage1_loss_fn(model, pad_id: int):
     return loss_fn
 
 
+def make_segmented_train_step(model, pad_id: int,
+                              optimizer: optax.GradientTransformation,
+                              mesh: Optional[Mesh] = None):
+    """Stage-1 multi-segment training step with XL memory recurrence.
+
+    Mirrors the reference hot loop (``stage1_compose/train.py:27-74``): one
+    optimizer step per segment, memories carried across segments with the
+    per-sample variable-length update (``_update_mems`` dec_seg_len path).
+    ``seg_batch`` arrays are [B, L]; ``mems`` is [n_layer+1, B, mlen, D].
+    """
+    from ..models.txl import update_mems_varlen
+
+    def loss_fn(params, seg_batch, mems, rng):
+        rngs = {'dropout': rng} if rng is not None else None
+        mems_list = [mems[i] for i in range(mems.shape[0])]
+        logits, _, hids = model.apply(
+            params, seg_batch['dec_inp'], mems_list,
+            deterministic=rng is None, return_hiddens=True, rngs=rngs)
+        loss = masked_cross_entropy(logits, seg_batch['dec_tgt'], pad_id)
+        aux = accuracy_sums(logits, seg_batch['dec_tgt'],
+                            seg_batch['inp_chord'], seg_batch['inp_melody'],
+                            pad_id)
+        hids = jax.lax.stop_gradient(jnp.stack(hids))
+        return loss, (aux, hids)
+
+    def step(state: TrainState, seg_batch, mems, rng):
+        (loss, (aux, hids)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, seg_batch, mems, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_mems = jax.vmap(update_mems_varlen, in_axes=(0, 0, None))(
+            mems, hids, seg_batch['seg_len'])
+        new_state = TrainState(step=state.step + 1, params=params,
+                               opt_state=opt_state)
+        return new_state, new_mems, loss, aux
+
+    return jax.jit(step, donate_argnums=(0, 2))
+
+
 def stage2_performer_loss_fn(model, pad_id: int):
     def loss_fn(params, batch, rng, extras):
         rngs = {'dropout': rng} if rng is not None else None

@@ -166,3 +166,41 @@ def test_stage2_performer_train_step_multidevice(stage2_data):
             losses.append(float(loss))
     assert all(math.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def test_stage1_segmented_training_with_mems(stage1_data):
+    """Multi-segment XL training: two segments per long piece, memories
+    carried with per-sample lengths; losses finite and improving."""
+    events_dir, vocab_path, names = stage1_data
+    vocab = Vocab.load(vocab_path)
+    # tiny seqlen forces 2 segments per piece
+    dset = Stage1Dataset(events_dir, vocab, model_dec_seqlen=48, max_n_seg=2)
+    assert any(len(s) == 2 for s in dset.piece_segments)
+
+    from emo_disentanger_tpu.train.trainer import make_segmented_train_step
+    model = PlainTransformer(vocab_size=vocab.size, n_layer=2, n_head=2,
+                             d_model=32, d_ff=64, d_embed=32, dropout=0.0,
+                             mem_len=48)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    optimizer = make_optimizer(OptimizerConfig(max_lr=1e-3, min_lr=1e-4,
+                                               warmup_steps=2,
+                                               lr_decay_steps=100))
+    state = init_train_state(params, optimizer)
+    step = make_segmented_train_step(model, vocab.pad_id, optimizer)
+
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    B = 4
+    for epoch in range(4):
+        for batch in dset.segment_batches(B, shuffle=True):
+            bsz = batch['dec_inp'].shape[0]
+            if bsz < B:
+                continue
+            mems = jnp.zeros((model.n_layer + 1, bsz, 48, 32))
+            for si in range(batch['dec_inp'].shape[1]):
+                seg = {k: jnp.asarray(v[:, si]) for k, v in batch.items()}
+                rng, sub = jax.random.split(rng)
+                state, mems, loss, aux = step(state, seg, mems, sub)
+                losses.append(float(loss))
+    assert all(math.isfinite(l) for l in losses)
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
