@@ -24,19 +24,48 @@ def checkpoint_name(epoch: int, loss: float) -> str:
     return 'ep{:03d}_loss{:.3f}'.format(epoch, loss)
 
 
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
 def save_checkpoint(ckpt_dir: str, epoch: int, loss: float, params: Any,
                     opt_state: Optional[Any] = None,
-                    extra: Optional[Dict] = None) -> str:
+                    extra: Optional[Dict] = None,
+                    async_save: bool = False) -> str:
+    """``async_save=True`` returns as soon as device buffers are snapshotted
+    and writes in the background (orbax AsyncCheckpointer) — keeps preempt
+    windows short on TPU; call :func:`wait_for_checkpoints` before exit."""
     path = os.path.abspath(os.path.join(ckpt_dir, checkpoint_name(epoch, loss)))
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, 'params'), params)
+    if async_save:
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()  # at most one outstanding write
+        ckptr.save(os.path.join(path, 'params'), args=ocp.args.StandardSave(params))
         if opt_state is not None:
-            ckptr.save(os.path.join(path, 'optim'), opt_state)
+            ckptr.wait_until_finished()
+            ckptr.save(os.path.join(path, 'optim'),
+                       args=ocp.args.StandardSave(opt_state))
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.join(path, 'params'), params)
+            if opt_state is not None:
+                ckptr.save(os.path.join(path, 'optim'), opt_state)
     manifest = {'epoch': epoch, 'loss': float(loss)}
     manifest.update(extra or {})
     with open(os.path.join(path, 'manifest.json'), 'w') as f:
         json.dump(manifest, f)
     return path
+
+
+def wait_for_checkpoints() -> None:
+    """Block until outstanding async checkpoint writes complete."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def load_checkpoint(path: str, params_template: Any,

@@ -192,3 +192,22 @@ def test_gpt2_reanchor_path(tmp_path):
     tokens, stats = gen.generate(primer, [list(bar) for _ in range(6)], seed=2)
     assert stats['n_events'] > 0
     assert all(0 <= t < vocab.size for t in tokens)
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    from emo_disentanger_tpu.train.checkpoint import (
+        save_checkpoint, load_checkpoint, wait_for_checkpoints)
+    from emo_disentanger_tpu.models import PlainTransformer
+
+    model = PlainTransformer(vocab_size=20, n_layer=1, n_head=2, d_model=16,
+                             d_ff=32, d_embed=16)
+    params = model.init(jax.random.PRNGKey(3), jnp.ones((1, 4), jnp.int32))
+    path = save_checkpoint(str(tmp_path), 2, 0.5, params, params,
+                           async_save=True)
+    wait_for_checkpoints()
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+    restored, opt = load_checkpoint(path, zero, zero)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert opt is not None
