@@ -211,6 +211,158 @@ def _pallas_impl(phi_q: jax.Array, phi_k: jax.Array, v: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Pallas backward kernels
+#
+# out_i = N_i / D_i with N_i = phi_q_i S_i, D_i = phi_q_i z_i + eps, where
+# (S_i, z_i) are the causal prefix sums.  With g = dL/dout:
+#   u_i = g_i / D_i                      [Dv]
+#   w_i = -(g_i . out_i) / D_i           scalar
+#   dphi_q_i = S_i u_i + w_i z_i         (prefix states -> forward pass)
+#   dv_j     = phi_k_j R_j               R_j = sum_{i>=j} phi_q_i u_i^T
+#   dphi_k_j = R_j v_j + r_j             r_j = sum_{i>=j} w_i phi_q_i
+# Pass A re-runs the forward chunk scan to produce (u, w, dphi_q);
+# pass B scans chunks in REVERSE carrying the suffix states (R, r).
+# ---------------------------------------------------------------------------
+
+def _bwd_a_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, u_ref, w_ref,
+                  s_scratch, z_scratch, *, chunk: int, eps: float):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        s_scratch[...] = jnp.zeros_like(s_scratch)
+        z_scratch[...] = jnp.zeros_like(z_scratch)
+
+    q = q_ref[...].astype(jnp.float32)                # [GB, C, M]
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)                # [GB, C, Dv]
+    g = g_ref[...].astype(jnp.float32)                # [GB, C, Dv]
+    S = s_scratch[...]                                # [GB, M, Dv]
+    z = z_scratch[...]                                # [GB, 1, M]
+
+    bmm_t = (((2,), (2,)), ((0,), (0,)))
+    bmm = (((2,), (1,)), ((0,), (0,)))
+    intra = jax.lax.dot_general(q, k, bmm_t, preferred_element_type=jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tril = (row >= col)[None]
+    intra = jnp.where(tril, intra, 0.0)
+
+    num = (jax.lax.dot_general(intra, v, bmm, preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(q, S, bmm, preferred_element_type=jnp.float32))
+    den = (jnp.sum(intra, axis=-1, keepdims=True)
+           + jax.lax.dot_general(q, z.swapaxes(1, 2), bmm,
+                                 preferred_element_type=jnp.float32)) + eps
+    out = num / den
+    u = g / den                                        # [GB, C, Dv]
+    w = -jnp.sum(g * out, axis=-1, keepdims=True) / den   # [GB, C, 1]
+    u_ref[...] = u
+    w_ref[...] = w
+
+    # dq = (A  tril) @ k + u @ S^T + w * z,  A_ij = u_i.v_j + w_i
+    a = jax.lax.dot_general(u, v, bmm_t, preferred_element_type=jnp.float32) + w
+    a = jnp.where(tril, a, 0.0)
+    bmm_st = (((2,), (2,)), ((0,), (0,)))              # u [C,Dv] x S [M,Dv]
+    dq = (jax.lax.dot_general(a, k, bmm, preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(u, S, bmm_st, preferred_element_type=jnp.float32)
+          + w * z)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+
+    bmm_kt = (((1,), (1,)), ((0,), (0,)))
+    s_scratch[...] = S + jax.lax.dot_general(k, v, bmm_kt,
+                                             preferred_element_type=jnp.float32)
+    z_scratch[...] = z + jnp.sum(k, axis=1, keepdims=True)
+
+
+def _bwd_b_kernel(q_ref, k_ref, v_ref, u_ref, w_ref, dk_ref, dv_ref,
+                  r_scratch, rr_scratch, *, chunk: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        r_scratch[...] = jnp.zeros_like(r_scratch)
+        rr_scratch[...] = jnp.zeros_like(rr_scratch)
+
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    u = u_ref[...].astype(jnp.float32)
+    w = w_ref[...].astype(jnp.float32)                 # [GB, C, 1]
+    R = r_scratch[...]                                 # [GB, M, Dv] suffix
+    r = rr_scratch[...]                                # [GB, 1, M]  suffix
+
+    bmm_t = (((2,), (2,)), ((0,), (0,)))
+    bmm = (((2,), (1,)), ((0,), (0,)))
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tril = (row >= col)[None]
+
+    # within-chunk A^T (j row, i col => i >= j means col >= row)
+    a = jax.lax.dot_general(u, v, bmm_t, preferred_element_type=jnp.float32) + w
+    a = jnp.where(tril, a, 0.0)                        # A[i, j]
+    aT = a.swapaxes(1, 2)                              # A^T[j, i]
+    p = jax.lax.dot_general(q, k, bmm_t, preferred_element_type=jnp.float32)
+    p = jnp.where(tril, p, 0.0)                        # P[i, j]
+    pT = p.swapaxes(1, 2)
+
+    bmm_st = (((2,), (2,)), ((0,), (0,)))
+    dk = (jax.lax.dot_general(aT, q, bmm, preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(v, R, bmm_st, preferred_element_type=jnp.float32)
+          + r)
+    dv = (jax.lax.dot_general(pT, u, bmm, preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(k, R, bmm, preferred_element_type=jnp.float32))
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+    bmm_qt = (((1,), (1,)), ((0,), (0,)))              # q^T @ u
+    r_scratch[...] = R + jax.lax.dot_general(q, u, bmm_qt,
+                                             preferred_element_type=jnp.float32)
+    rr_scratch[...] = r + jnp.sum(w * q, axis=1, keepdims=True)
+
+
+def _pallas_bwd(phi_q, phi_k, v, g, chunk: int, eps: float):
+    """[BH, L, ...] gradients via the two-pass kernel scheme."""
+    bh, L, M = phi_q.shape
+    Dv = v.shape[-1]
+    gb = _group_size(bh, chunk, M, Dv)
+    grid = (bh // gb, L // chunk)
+    blk = lambda c: pl.BlockSpec((gb, chunk, c), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    blk_rev = lambda c: pl.BlockSpec(
+        (gb, chunk, c), lambda i, j: (i, L // chunk - 1 - j, 0),
+        memory_space=pltpu.VMEM)
+
+    dq, u, w = pl.pallas_call(
+        functools.partial(_bwd_a_kernel, chunk=chunk, eps=eps),
+        grid=grid,
+        in_specs=[blk(M), blk(M), blk(Dv), blk(Dv)],
+        out_specs=(blk(M), blk(Dv), blk(1)),
+        out_shape=(jax.ShapeDtypeStruct((bh, L, M), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, L, Dv), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, L, 1), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((gb, M, Dv), jnp.float32),
+                        pltpu.VMEM((gb, 1, M), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(phi_q, phi_k, v, g)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_b_kernel, chunk=chunk),
+        grid=grid,
+        in_specs=[blk_rev(M), blk_rev(M), blk_rev(Dv), blk_rev(Dv), blk_rev(1)],
+        out_specs=(blk_rev(M), blk_rev(Dv)),
+        out_shape=(jax.ShapeDtypeStruct((bh, L, M), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, L, Dv), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((gb, M, Dv), jnp.float32),
+                        pltpu.VMEM((gb, 1, M), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(phi_q, phi_k, v, u, w)
+
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
 # public op: pallas forward on TPU, scan-based backward
 # ---------------------------------------------------------------------------
 
@@ -258,7 +410,31 @@ def _cla_fwd(phi_q, phi_k, v, chunk, eps):
 
 def _cla_bwd(chunk, eps, residuals, g):
     phi_q, phi_k, v = residuals
-    # recompute through the differentiable scan implementation
+    if _use_pallas():
+        # dedicated two-pass Pallas backward (forward-state replay +
+        # reverse suffix scan)
+        *lead, L, M = phi_q.shape
+        Dv = v.shape[-1]
+        bh = 1
+        for s in lead:
+            bh *= s
+        q2 = phi_q.reshape(bh, L, M).astype(jnp.float32)
+        k2 = phi_k.reshape(bh, L, M).astype(jnp.float32)
+        v2 = v.reshape(bh, L, Dv).astype(jnp.float32)
+        g2 = g.reshape(bh, L, Dv).astype(jnp.float32)
+        pad = (-L) % chunk
+        if pad:
+            q2 = jnp.pad(q2, ((0, 0), (0, pad), (0, 0)))
+            k2 = jnp.pad(k2, ((0, 0), (0, pad), (0, 0)))
+            v2 = jnp.pad(v2, ((0, 0), (0, pad), (0, 0)))
+            g2 = jnp.pad(g2, ((0, 0), (0, pad), (0, 0)))
+        dq, dk, dv = _pallas_bwd(q2, k2, v2, g2, chunk, eps)
+        if pad:
+            dq, dk, dv = dq[:, :L], dk[:, :L], dv[:, :L]
+        return (dq.reshape(phi_q.shape).astype(phi_q.dtype),
+                dk.reshape(phi_k.shape).astype(phi_k.dtype),
+                dv.reshape(v.shape).astype(v.dtype))
+    # CPU fallback: recompute through the differentiable scan implementation
     _, vjp = jax.vjp(
         lambda q, k, vv: _padded_call(_scan_impl, q, k, vv, chunk, eps),
         phi_q, phi_k, v)
