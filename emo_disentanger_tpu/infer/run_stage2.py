@@ -38,9 +38,10 @@ def run(config_path: str, representation: str, model_type: str, *,
         seed: int = 0, max_events: int = 10000,
         max_bars_override: Optional[int] = None,
         batch_size: int = 0) -> dict:
-    """``batch_size > 0`` with the Performer backbone decodes that many
-    (file, quadrant) jobs simultaneously in one device loop
-    (:class:`..infer.stage2_batch.Stage2BatchGenerator`)."""
+    """``batch_size > 0`` decodes that many (file, quadrant) jobs
+    simultaneously in one device loop
+    (:class:`..infer.stage2_batch.Stage2BatchGenerator`; GPT-2 batched mode
+    caps songs at the cache length instead of re-anchoring)."""
     config = load_yaml(config_path)
     functional = representation == 'functional'
     samp = SAMPLING[model_type]
@@ -68,7 +69,7 @@ def run(config_path: str, representation: str, model_type: str, *,
                        if f.endswith('.txt') and not f.endswith('roman.txt'))
     print('[# pieces]', len(files))
 
-    if batch_size > 0 and model_type == 'performer':
+    if batch_size > 0:
         return _run_batched(generator=None, model=model, params=params,
                             vocab=vocab, omegas=omegas, files=files,
                             functional=functional, output_dir=output_dir,

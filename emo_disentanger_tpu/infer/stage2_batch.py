@@ -1,4 +1,4 @@
-"""Batched stage-2 Performer generation: B performances in one device loop.
+"""Batched stage-2 generation: B performances in one device loop.
 
 The production pattern renders several arousal quadrants (and groups) from
 lead sheets simultaneously.  Because the Performer's decode state is the
@@ -15,9 +15,12 @@ AND the per-bar teacher-forced lead-sheet injection unify into a single
   279-291``) — while other elements proceed;
 * the loop ends when every element is done.
 
-This removes all host round-trips of the host-orchestrated
-:class:`~emo_disentanger_tpu.infer.stage2.Stage2Generator` (still used for
-GPT-2, whose KV cache needs a shared write clock).
+Supports both backbones: the Performer carries per-layer FAVOR+ (S, z)
+state (positions only matter for the PE lookup), while GPT-2 writes its KV
+cache at per-element clocks (``decode_step_batchpos``; no window re-anchor
+in batched mode — songs longer than the cache end with STATUS_MAX, and the
+host-orchestrated :class:`~..infer.stage2.Stage2Generator` remains the
+unbounded-length GPT-2 path).
 """
 
 from __future__ import annotations
@@ -31,6 +34,7 @@ import numpy as np
 
 from ..core.vocab import Vocab
 from ..models.performer import MusicPerformer
+from ..models.gpt2 import MusicGPT2
 from ..ops.sampling import nucleus_sample
 from .rules import build_rule_tables
 
@@ -45,16 +49,17 @@ MODE_INJECT = 1
 
 
 class Stage2BatchGenerator:
-    """One compiled whole-batch generation loop for the Performer."""
+    """One compiled whole-batch generation loop (Performer or GPT-2)."""
 
-    def __init__(self, model: MusicPerformer, params, vocab: Vocab, *,
+    def __init__(self, model, params, vocab: Vocab, *,
                  batch: int, temp: float = 1.1, top_p: float = 0.99,
                  max_events: int = 10000, max_bar_tokens: int = 256,
-                 max_bars: int = 128,
+                 max_bars: int = 128, gpt2_cache_len: int = 4096,
                  omegas: Optional[jax.Array] = None):
-        assert isinstance(model, MusicPerformer)
-        if omegas is None:
+        self.is_performer = isinstance(model, MusicPerformer)
+        if self.is_performer and omegas is None:
             raise ValueError('Performer decoding needs drawn omegas')
+        self.gpt2_cache_len = gpt2_cache_len
         self.model = model
         self.params = params
         self.vocab = vocab
@@ -79,13 +84,25 @@ class Stage2BatchGenerator:
         sample_v = jax.vmap(nucleus_sample, in_axes=(0, 0, None, None))
         max_iters = self.max_events * 2 + 8192
 
+        def model_step(token, seg, t, state):
+            if self.is_performer:
+                return self.model.apply(
+                    self.params, token, seg, t, self.omegas, state,
+                    method=MusicPerformer.decode_step_batchpos)
+            return self.model.apply(self.params, token, seg, t, state,
+                                    method=MusicGPT2.decode_step_batchpos)
+
         def loop(inj_tokens, inj_segs, inj_len, primer, primer_len,
                  target_bars, rng):
             """inj_tokens/segs [B, max_bars, max_bar_tokens]; inj_len [B, max_bars];
             primer [B, P]; primer_len [B]; n_bars/target_bars [B]."""
             P = primer.shape[1]
-            state = self.model.apply(self.params, B,
-                                     method=MusicPerformer.init_decode_state)
+            if self.is_performer:
+                state = self.model.apply(self.params, B,
+                                         method=MusicPerformer.init_decode_state)
+            else:
+                state = self.model.apply(self.params, B, self.gpt2_cache_len,
+                                         method=MusicGPT2.init_decode_cache)
             out = jnp.zeros((B, self.max_events + 8), jnp.int32)
             out = jax.lax.dynamic_update_slice(out, primer, (0, 0))
 
@@ -151,9 +168,8 @@ class Stage2BatchGenerator:
 
                 advance = act & ~reject
                 # --- run the model for everyone; merge per element ---
-                new_logits, new_state = self.model.apply(
-                    self.params, token, seg, s['t'], self.omegas, s['state'],
-                    method=MusicPerformer.decode_step_batchpos)
+                new_logits, new_state = model_step(token, seg, s['t'],
+                                                   s['state'])
                 state = jax.tree_util.tree_map(
                     lambda new, old: jnp.where(
                         advance.reshape((1, B) + (1,) * (new.ndim - 2)),
@@ -194,6 +210,10 @@ class Stage2BatchGenerator:
 
                 eos_final = sampling & advance & is_eos[token] & ~eos_early
                 status = jnp.where(act & stuck, STATUS_STUCK, s['status'])
+                if not self.is_performer:
+                    # no window re-anchor in batched mode: cap at the cache
+                    status = jnp.where(act & (t >= self.gpt2_cache_len - 2),
+                                       STATUS_MAX, status)
                 status = jnp.where(act & eos_final, STATUS_EOS, status)
                 status = jnp.where(act & (out_len > self.max_events),
                                    STATUS_MAX, status)

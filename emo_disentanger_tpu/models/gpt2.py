@@ -221,5 +221,53 @@ class MusicGPT2(nn.Module):
         logits = self.out_proj(h.astype(jnp.float32))[:, 0]
         return logits, {'k': k_all, 'v': v_all}
 
+    def decode_step_batchpos(self, token: jax.Array, seg: jax.Array,
+                             t: jax.Array, cache: Dict[str, jax.Array],
+                             ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """Like :meth:`decode_step` but with PER-ELEMENT positions ``t`` [B]:
+        each song writes its cache row at its own clock (batched generation).
+        No window re-anchoring — songs longer than the cache end with an
+        overflow status in the generator."""
+        emb = self.token_emb(token[:, None])
+        if self.use_segment_emb:
+            emb = emb + self.segemb(seg[:, None])
+        if self.use_pe:
+            pe = sinusoid_position_encoding(self.max_len, self.d_embed)
+            rows = jnp.take(pe, jnp.clip(t, 0, self.max_len - 1), axis=0)
+            emb = emb + rows[:, None, :].astype(emb.dtype)
+        h = emb
+        k_all, v_all = cache['k'], cache['v']
+        B = token.shape[0]
+        Kmax = k_all.shape[2]
+        positions = jnp.arange(Kmax)
+
+        def write(cache_layer, new_row):
+            return jax.vmap(
+                lambda c, kk, tb: jax.lax.dynamic_update_slice(
+                    c, kk[None], (tb, 0, 0)))(cache_layer, new_row, t)
+
+        for i, block in enumerate(self.blocks):
+            hh = block.ln_1(h)
+            q, k, v = jnp.split(block.c_attn(hh), 3, axis=-1)
+            q = q.reshape(B, self.n_head, self.d_head)
+            k_layer = write(k_all[i], k.reshape(B, self.n_head, self.d_head))
+            v_layer = write(v_all[i], v.reshape(B, self.n_head, self.d_head))
+            k_all = k_all.at[i].set(k_layer)
+            v_all = v_all.at[i].set(v_layer)
+
+            scale = 1.0 / (self.d_head ** 0.5)
+            scores = jnp.einsum('bhd,bjhd->bhj', q, k_layer) * scale
+            scores = jnp.where((positions[None] > t[:, None])[:, None, :],
+                               NEG_INF, scores)
+            probs = jax.nn.softmax(scores.astype(jnp.float32),
+                                   axis=-1).astype(scores.dtype)
+            attn = jnp.einsum('bhj,bjhd->bhd', probs, v_layer)
+            h = h + block.attn_proj(attn.reshape(B, 1, self.d_model))
+            hh = block.ln_2(h)
+            h = h + block.mlp_proj(nn.gelu(block.c_fc(hh), approximate=True))
+
+        logits = self.out_proj(h.astype(jnp.float32))[:, 0]
+        return logits, {'k': k_all, 'v': v_all}
+
     def compute_loss(self, logits, targets):
         return masked_cross_entropy(logits, targets, self.n_token - 1)

@@ -54,3 +54,55 @@ def test_batched_stage2_generation():
     assert streams == streams2
     streams3, _ = gen.generate(primers, bars_per, seed=4)
     assert streams3 != streams or stats['status'] is not None
+
+
+def test_batched_stage2_gpt2():
+    from emo_disentanger_tpu.models import MusicGPT2
+    vocab = tiny_vocab2()
+    small = dict(n_layer=2, n_head=2, d_model=32, d_ff=64, d_embed=32,
+                 dropout=0.0)
+    model = MusicGPT2(n_token=vocab.size, **small)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.zeros((1, 8), jnp.int32))
+    bar = [vocab.event2idx[e] for e in
+           ['Bar_None', 'Beat_0', 'Chord_I_M', 'Note_Octave_5',
+            'Note_Degree_I', 'Note_Duration_480']]
+    primer = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
+              vocab.event2idx['Tempo_110']]
+    gen = Stage2BatchGenerator(model, params, vocab, batch=2, temp=1.2,
+                               top_p=0.97, max_events=120, max_bar_tokens=32,
+                               max_bars=4, gpt2_cache_len=256)
+    streams, stats = gen.generate([primer, primer],
+                                  [[list(bar)] * 2, [list(bar)] * 3], seed=5)
+    for b, stream in enumerate(streams):
+        evs = vocab.decode(stream)
+        assert evs[:3] == vocab.decode(primer)
+        assert evs[3] == 'Track_LeadSheet'
+        assert 'PAD_None' not in evs
+    streams2, _ = gen.generate([primer, primer],
+                               [[list(bar)] * 2, [list(bar)] * 3], seed=5)
+    assert streams == streams2
+
+
+def test_batched_gpt2_matches_singlepos_decode():
+    """decode_step_batchpos with equal clocks == decode_step."""
+    from emo_disentanger_tpu.models import MusicGPT2
+    import numpy as np
+    vocab = tiny_vocab2()
+    model = MusicGPT2(n_token=vocab.size, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.zeros((1, 8), jnp.int32))
+    B, K = 2, 32
+    cache_a = model.apply(params, B, K, method=MusicGPT2.init_decode_cache)
+    cache_b = model.apply(params, B, K, method=MusicGPT2.init_decode_cache)
+    toks = (jnp.arange(2 * 10).reshape(10, 2) * 3) % (vocab.size - 1)
+    segs = jnp.zeros((10, 2), jnp.int32)
+    for t in range(10):
+        la, cache_a = model.apply(params, toks[t], segs[t], jnp.int32(t),
+                                  cache_a, method=MusicGPT2.decode_step)
+        lb, cache_b = model.apply(params, toks[t], segs[t],
+                                  jnp.full((B,), t, jnp.int32), cache_b,
+                                  method=MusicGPT2.decode_step_batchpos)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=2e-4)
