@@ -56,10 +56,11 @@ class Throughput:
         return self.tokens_per_sec / max(self.n_chips, 1)
 
     def report(self) -> Dict[str, float]:
+        tps = self.tokens_per_sec            # snapshot once: dt keeps moving
         return {
             'tokens': self._tokens,
-            'tokens_per_sec': self.tokens_per_sec,
-            'tokens_per_sec_per_chip': self.tokens_per_sec_per_chip,
+            'tokens_per_sec': tps,
+            'tokens_per_sec_per_chip': tps / max(self.n_chips, 1),
         }
 
 
