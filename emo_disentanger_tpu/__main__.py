@@ -10,6 +10,7 @@ COMMANDS = {
     'midi2events': ('emo_disentanger_tpu.cli.midi2events', 'dataset tokenization'),
     'events2words': ('emo_disentanger_tpu.cli.events2words', 'vocabulary build'),
     'data-splits': ('emo_disentanger_tpu.cli.data_splits', 'train/valid splits'),
+    'evaluate': ('emo_disentanger_tpu.cli.evaluate', 'objective generation metrics'),
 }
 
 

@@ -135,3 +135,45 @@ def test_stage1_stream_bit_parity(seed, tmp_path):
     assert ours is not None
     assert ours[:-1] == list(ref_tokens), (
         vocab.decode(ours[:-1]), vocab.decode(ref_tokens))
+
+
+def test_stage1_prompt_mode_stream_parity(tmp_path):
+    """Prompt continuation (multi-token primer, prompt_bars) parity."""
+    vocab = _vocab()
+    m = ref_loader.load_stage1_models()
+    torch.manual_seed(21)
+    ref_model = m.plain_transformer.PlainTransformer(
+        32, vocab.size, 2, 2, 32, 64, 64, 64, dec_dropout=0.0, pre_lnorm=True)
+    with torch.no_grad():
+        ref_model.dec_out_proj.weight.mul_(60.0)
+    ref_model.eval()
+    path = str(tmp_path / 'w.pt')
+    torch.save(ref_model.state_dict(), path)
+    riu = _load_ref_inference_utils()
+
+    primer = ['Emotion_Positive', 'Key_C', 'Bar_None', 'Beat_0', 'Chord_I_M',
+              'Note_Octave_5', 'Note_Degree_I', 'Note_Duration_480']
+
+    np.random.seed(9)
+    with torch.no_grad():
+        ref_tokens, _ = riu.generate_plain_xl(
+            ref_model, vocab.event2idx, vocab.idx2event,
+            max_bars=3, max_events=40, primer=primer, prompt_bars=1,
+            temp=1.2, top_p=0.97, representation='functional',
+            key_determine='rule')
+
+    model = PlainTransformer(vocab_size=vocab.size, d_embed=32, n_layer=2,
+                             n_head=2, d_model=32, d_ff=64, dropout=0.0,
+                             pre_lnorm=True)
+    params = convert_stage1_pt(path, n_layer=2)
+    np.random.seed(9)
+    ours, _ = generate_stage1_reference_exact(
+        model, params, vocab, primer_events=primer, prompt_bars=1,
+        max_bars=3, max_events=40, temp=1.2, top_p=0.97,
+        representation='functional', max_klen=256)
+
+    if ref_tokens is None:
+        assert ours is None
+        return
+    assert ours is not None
+    assert ours[:-1] == list(ref_tokens)
