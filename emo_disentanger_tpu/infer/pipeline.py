@@ -71,6 +71,12 @@ def read_generated_events(path: str, event2idx: Dict[str, int],
     events = [e for e in events if e]
     key = events[0] if events and 'Key' in events[0] else 'Key_C'
 
+    if key not in event2idx:
+        # a key the stage-2 corpus never saw: the reference would KeyError
+        # here (dset.event2idx[key], inference.py:460); degrade to C instead
+        print('[warn] {} not in stage-2 vocab; substituting Key_C'.format(key))
+        key = 'Key_C'
+
     bar_pos = [i for i, e in enumerate(events) if e == 'Bar_None']
     bar_pos.append(len(events))
     bars = [events[bar_pos[b]:bar_pos[b + 1]] for b in range(len(bar_pos) - 1)]

@@ -77,14 +77,16 @@ def write_stage2_corpus(root, n_pieces=4, functional=True, n_bars=4):
     os.makedirs(events_dir, exist_ok=True)
     all_events = []
     names = []
+    keys = ['C', 'a', 'G', 'e']
     for i in range(n_pieces):
         emotion = f'Q{(i % 4) + 1}'
+        key = keys[i % len(keys)]
         midi = synth_midi(n_bars=n_bars, seed=100 + i)
         lead = quantize_to_corpus(analyze_midi(
-            midi, 'C', melody_only=True, chord_conti=False, tempo_conti=True,
+            midi, key, melody_only=True, chord_conti=False, tempo_conti=True,
             relative_chord=functional))
         full = quantize_to_corpus(analyze_midi(
-            synth_midi(n_bars=n_bars, seed=100 + i), 'C', melody_only=False,
+            synth_midi(n_bars=n_bars, seed=100 + i), key, melody_only=False,
             chord_conti=True, tempo_conti=True, relative_chord=functional))
         lead_pos, full_pos, evs = corpus_to_stage2(
             lead, full, emotion, relative_melody=functional,

@@ -156,7 +156,7 @@ def test_stage2_performer_train_step_multidevice(stage2_data):
 
     rng = jax.random.PRNGKey(1)
     losses = []
-    for epoch in range(4):
+    for epoch in range(8):
         for batch in dset.batches(8, shuffle=True):
             batch = neutralize_pad_rows(batch, 8, vocab.pad_id)
             batch.pop('length')
@@ -165,7 +165,7 @@ def test_stage2_performer_train_step_multidevice(stage2_data):
             state, loss, aux = train_step(state, batch, sub, {'omegas': omegas})
             losses.append(float(loss))
     assert all(math.isfinite(l) for l in losses)
-    assert losses[-1] < losses[0]
+    assert np.mean(losses[-2:]) < np.mean(losses[:2])
 
 
 def test_stage1_segmented_training_with_mems(stage1_data):
