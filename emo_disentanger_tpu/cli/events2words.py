@@ -34,6 +34,9 @@ def main(argv=None):
     required = parser.add_argument_group('required arguments')
     required.add_argument('-r', '--representation', required=True,
                           choices=['remi', 'functional'])
+    parser.add_argument('-e', '--num_emotion', default=None, type=int,
+                        help='override the per-corpus emotion count '
+                             '(reference events2words.py -e flag)')
     parser.add_argument('--root', default='.')
     args = parser.parse_args(argv)
     relative = args.representation == 'functional'
@@ -44,6 +47,8 @@ def main(argv=None):
             print('skip (missing):', root)
             continue
         event_pos = kwargs.pop('event_pos')
+        if args.num_emotion is not None:
+            kwargs = dict(kwargs, num_emotion=args.num_emotion)
         path = build_dictionary_from_dir(root, event_pos=event_pos,
                                          relative=relative, **kwargs)
         kwargs['event_pos'] = event_pos

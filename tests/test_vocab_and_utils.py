@@ -95,3 +95,17 @@ def test_construct_inadmissible_set():
     forbid = construct_inadmissible_set(110, e2i, vocab_size=4, tolerance=20)
     assert forbid[1] and not forbid[0]       # 150 is >20 bpm away, 100 is not
     assert not forbid[2] and not forbid[3]   # Conti and non-tempo untouched
+
+
+def test_evaluate_dir(tmp_path):
+    from emo_disentanger_tpu.cli.evaluate import evaluate_dir
+    pos = ['Key_C', 'Bar_None', 'Beat_0', 'Note_Pitch_60', 'Note_Duration_480']
+    neg = ['Key_c', 'Bar_None', 'Beat_0', 'Note_Pitch_63', 'Note_Duration_480']
+    (tmp_path / 'samp_00_Positive.txt').write_text('\n'.join(pos))
+    (tmp_path / 'samp_00_Negative.txt').write_text('\n'.join(neg))
+    (tmp_path / 'samp_00_Positive_roman.txt').write_text('ignored')
+    report = evaluate_dir(str(tmp_path))
+    assert set(report) == {'Positive', 'Negative'}
+    assert report['Positive']['major_ratio'] == 1.0
+    assert report['Negative']['major_ratio'] == 0.0
+    assert report['Positive']['n_pieces'] == 1
