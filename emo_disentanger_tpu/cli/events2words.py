@@ -46,12 +46,12 @@ def main(argv=None):
         if not os.path.isdir(os.path.join(root, 'events')):
             print('skip (missing):', root)
             continue
-        event_pos = kwargs.pop('event_pos')
+        opts = dict(kwargs)                  # never mutate the CORPORA table
+        event_pos = opts.pop('event_pos')
         if args.num_emotion is not None:
-            kwargs = dict(kwargs, num_emotion=args.num_emotion)
+            opts['num_emotion'] = args.num_emotion
         path = build_dictionary_from_dir(root, event_pos=event_pos,
-                                         relative=relative, **kwargs)
-        kwargs['event_pos'] = event_pos
+                                         relative=relative, **opts)
         print('wrote', path)
 
 
