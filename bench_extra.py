@@ -148,6 +148,45 @@ def bench_train_step(batch=4, seqlen=3072):
     return batch * seqlen / dt
 
 
+def bench_sampled_generation(batch=16, max_events=1500):
+    """The production serving loop: Stage2BatchGenerator with full nucleus
+    sampling, rejection rules and per-bar teacher forcing on device."""
+    from emo_disentanger_tpu.core.vocab import Vocab
+    from emo_disentanger_tpu.models import MusicPerformer
+    from emo_disentanger_tpu.infer.stage2_batch import Stage2BatchGenerator
+    from emo_disentanger_tpu.utils.precision import cast_params
+
+    events = ['Emotion_Q1', 'Emotion_Q2', 'Emotion_Q3', 'Emotion_Q4',
+              'Key_C', 'Key_c', 'Bar_None', 'EOS_None', 'Track_LeadSheet',
+              'Track_Full', 'Tempo_110', 'Chord_I_M', 'Chord_V_7',
+              'Chord_None_None']
+    events += [f'Beat_{b}' for b in range(16)]
+    events += [f'Filler_{i}' for i in range(VOCAB - len(events) - 1)]
+    events = sorted(set(events))
+    vocab = Vocab({e: i for i, e in enumerate(events)},
+                  {i: e for i, e in enumerate(events)})
+
+    model = MusicPerformer(n_token=vocab.size, n_layer=12, n_head=8,
+                           d_model=512, d_ff=2048, d_embed=512,
+                           favor_dims=128, dtype=jnp.bfloat16)
+    omegas = model.draw_omegas(jax.random.PRNGKey(1))
+    params = cast_params(model.init(jax.random.PRNGKey(0),
+                                    jnp.ones((1, 8), jnp.int32), omegas,
+                                    jnp.zeros((1, 8), jnp.int32)))
+    gen = Stage2BatchGenerator(model, params, vocab, batch=batch, temp=1.1,
+                               top_p=0.99, max_events=max_events,
+                               max_bar_tokens=32, max_bars=16, omegas=omegas)
+    bar = [vocab.event2idx[e] for e in ['Bar_None', 'Beat_0', 'Chord_I_M']]
+    primer = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
+              vocab.event2idx['Tempo_110']]
+    args = ([primer] * batch, [[list(bar)] * 16] * batch)
+    gen.generate(*args, seed=1)                      # compile
+    t0 = time.perf_counter()
+    streams, stats = gen.generate(*args, seed=2)
+    dt = time.perf_counter() - t0
+    return sum(stats['events']) / dt
+
+
 def main():
     results = {}
     for name, fn in [('stage1_txl', bench_txl),
@@ -170,9 +209,17 @@ def main():
                       'value': round(60.0 / per_song, 1),
                       'unit': 'songs/min/chip'}))
 
+    tps = bench_sampled_generation()
+    print(json.dumps({'metric': 'stage2 Performer batched generation '
+                                '(B=16 bf16, nucleus sampling + rules on '
+                                'device, teacher-forced bars)',
+                      'value': round(tps, 1),
+                      'unit': 'tokens/sec/chip'}))
+
     tps = bench_train_step()
     print(json.dumps({'metric': 'stage2 Performer train step '
-                                '(fwd+bwd+Adam, B=4, L=3072, f32)',
+                                '(fwd+bwd+Adam, B=4, L=3072, f32, Pallas '
+                                'fwd+bwd kernels)',
                       'value': round(tps, 1),
                       'unit': 'tokens/sec/chip'}))
 

@@ -106,7 +106,7 @@ def run(config_path: str, representation: str, mode: str, *,
                 prompt_evs, target_bars = prompts[group]
                 primer = ['Emotion_{}'.format(emotion)] + prompt_evs[1:]
             events, stats = generator.generate(
-                emotion, seed=seed + group * 131 + hash(emotion) % 1000,
+                emotion, seed=seed + group * 131 + sum(map(ord, emotion)) % 1000,
                 primer_events=primer, target_bars=target_bars)
             results[out_name] = (events, stats['seconds'])
 

@@ -98,7 +98,7 @@ def run(config_path: str, representation: str, model_type: str, *,
 
             tokens, stats = generator.generate(
                 primer, lead_sheet_bars,
-                seed=seed + file_idx * 17 + hash(e) % 1000,
+                seed=seed + file_idx * 17 + sum(map(ord, e)) % 1000,
                 max_bars=max_bars_override or MAX_BARS)
             times.append(stats['seconds'])
 
