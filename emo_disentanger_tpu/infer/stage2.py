@@ -215,7 +215,15 @@ class Stage2Generator:
         all_tokens = list(tokens)
         all_segs = list(segs)
 
+        rounds = 0
         while bars < target_bars:
+            rounds += 1
+            if rounds > 4 * (target_bars + 1) + 64:
+                # safety: a model sampling rejected tokens forever would spin
+                # the reanchor/sample cycle endlessly (the reference has the
+                # same exposure via its bare `continue` loop)
+                status = STATUS_STUCK
+                break
             (logits, state, t, out, out_len, cur_pos, failed, rng,
              status_dev) = self._sample(logits, state, t, out, out_len,
                                         cur_pos, failed, rng,
