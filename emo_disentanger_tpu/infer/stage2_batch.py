@@ -84,11 +84,16 @@ class Stage2BatchGenerator:
         sample_v = jax.vmap(nucleus_sample, in_axes=(0, 0, None, None))
         max_iters = self.max_events * 2 + 8192
 
-        def model_step(token, seg, t, state):
+        def model_step(token, seg, t, state, advance):
             if self.is_performer:
+                # masked state update: rejected/done elements' (S, z) stay
+                # untouched without a second full-state select
                 return self.model.apply(
                     self.params, token, seg, t, self.omegas, state,
+                    update_mask=advance,
                     method=MusicPerformer.decode_step_batchpos)
+            # GPT-2: rejected elements overwrite the same cache slot on the
+            # next step before attending, so no select is needed either
             return self.model.apply(self.params, token, seg, t, state,
                                     method=MusicGPT2.decode_step_batchpos)
 
@@ -167,14 +172,10 @@ class Stage2BatchGenerator:
                 stuck = failed >= 256
 
                 advance = act & ~reject
-                # --- run the model for everyone; merge per element ---
-                new_logits, new_state = model_step(token, seg, s['t'],
-                                                   s['state'])
-                state = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(
-                        advance.reshape((1, B) + (1,) * (new.ndim - 2)),
-                        new, old),
-                    new_state, s['state'])
+                # --- run the model for everyone; per-element state freezing
+                # happens inside the step (masked update / slot overwrite) ---
+                new_logits, state = model_step(token, seg, s['t'],
+                                               s['state'], advance)
                 logits = jnp.where(advance[:, None], new_logits, s['logits'])
                 t = s['t'] + advance.astype(jnp.int32)
 

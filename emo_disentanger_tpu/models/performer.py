@@ -83,18 +83,21 @@ class PerformerLayer(nn.Module):
         y = self.drop(self.linear2(y), deterministic=deterministic)
         return self.norm2(x + y)
 
-    def decode_step(self, x, omega, layer_idx, S_all, z_all):
+    def decode_step(self, x, omega, layer_idx, S_all, z_all,
+                    update_mask=None):
         """x [B, 1, D]; carried state S_all [n_layer,B,H,M,Dh] /
-        z_all [n_layer,B,H,M], updated in place at layer_idx."""
+        z_all [n_layer,B,H,M], updated in place at layer_idx.
+        ``update_mask`` [B] freezes masked elements' state."""
         B = x.shape[0]
         q = self.q_proj(x).reshape(B, self.n_head, self.d_head)
         k = self.k_proj(x).reshape(B, self.n_head, self.d_head)
         v = self.v_proj(x).reshape(B, self.n_head, self.d_head)
         phi_q = favor_features(q, omega, is_query=True)
         phi_k = favor_features(k, omega, is_query=False, key_stabilizer=0.0)
+        mask = None if update_mask is None else update_mask[:, None]
         attn, S, z = linear_attention_decode_step(
             phi_q, phi_k, v.astype(jnp.float32), S_all[layer_idx],
-            z_all[layer_idx])
+            z_all[layer_idx], update_mask=mask)
         S_all = jax.lax.dynamic_update_slice(
             S_all, S[None], (layer_idx, 0, 0, 0, 0))
         z_all = jax.lax.dynamic_update_slice(
@@ -205,11 +208,13 @@ class MusicPerformer(nn.Module):
     def decode_step_batchpos(self, token: jax.Array, seg: jax.Array,
                              t: jax.Array, omegas: jax.Array,
                              state: Dict[str, jax.Array],
+                             update_mask: Optional[jax.Array] = None,
                              ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Like :meth:`decode_step` but with a PER-ELEMENT position ``t``
         [B] — used by the batched generator where each song advances its own
         clock (linear-attention state carries no positions, only the
-        sinusoidal PE lookup differs)."""
+        sinusoidal PE lookup differs).  ``update_mask`` [B] freezes rejected
+        elements' state in place of a full-state select."""
         emb = self.token_emb(token[:, None])
         if self.use_segment_emb:
             emb = emb + self.segemb(seg[:, None])
@@ -220,7 +225,8 @@ class MusicPerformer(nn.Module):
         h = emb
         S_all, z_all = state['S'], state['z']
         for i, layer in enumerate(self.layers):
-            h, S_all, z_all = layer.decode_step(h, omegas[i], i, S_all, z_all)
+            h, S_all, z_all = layer.decode_step(h, omegas[i], i, S_all, z_all,
+                                                update_mask=update_mask)
         logits = self.out_proj(h.astype(jnp.float32))[:, 0]
         return logits, {'S': S_all, 'z': z_all}
 

@@ -455,8 +455,18 @@ def linear_attention_decode_step(
     S: jax.Array,              # [..., M, Dv] running sum phi(k) v^T
     z: jax.Array,              # [..., M]     running sum phi(k)
     eps: float = EPS,
+    update_mask: Optional[jax.Array] = None,   # [...] 0/1 per batch element
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """One causal step (current token included): returns (out, S', z')."""
+    """One causal step (current token included): returns (out, S', z').
+
+    ``update_mask`` zeroes the state contribution of masked elements (used
+    by batched generation to leave rejected songs' state untouched without a
+    second full-state select)."""
+    if update_mask is not None:
+        m = update_mask.astype(phi_k.dtype)
+        while m.ndim < phi_k.ndim:
+            m = m[..., None]
+        phi_k = phi_k * m
     S = S + phi_k[..., :, None] * v[..., None, :]
     z = z + phi_k
     num = jnp.einsum('...m,...md->...d', phi_q, S)
