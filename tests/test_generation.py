@@ -168,3 +168,23 @@ def test_emotion_candidates():
     assert emotion_candidates_for_file('samp_00_Positive_roman.txt') == ['Q1', 'Q4']
     assert emotion_candidates_for_file('samp_00_Negative.txt') == ['Q2', 'Q3']
     assert emotion_candidates_for_file('x_Q3.txt') == ['Q3']
+
+
+def test_roman_conversion_fuzz():
+    """Random event soups through the string converters must not crash."""
+    import numpy as np
+    from emo_disentanger_tpu.infer.pipeline import roman_events_to_absolute
+    from emo_disentanger_tpu.infer.convert2midi import events_to_midi
+    rng = np.random.RandomState(0)
+    pool = ['Bar_None', 'Beat_0', 'Beat_4', 'Beat_15', 'Chord_I_M',
+            'Chord_V_7', 'Chord_None_None', 'Note_Octave_5', 'Note_Octave_2',
+            'Note_Degree_I', 'Note_Degree_V', 'Note_Duration_480',
+            'Note_Velocity_64', 'Tempo_110', 'Tempo_Conti', 'EOS_None',
+            'Key_C', 'Key_c', 'Track_LeadSheet', 'Track_Full']
+    for trial in range(20):
+        events = [pool[i] for i in rng.randint(0, len(pool), size=40)]
+        out = roman_events_to_absolute('Key_C', events)
+        assert not any(e.startswith('Note_Octave') or e.startswith('Note_Degree')
+                       for e in out)
+        midi = events_to_midi('Key_C', out, 'full_song')
+        assert midi is not None
