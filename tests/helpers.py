@@ -102,3 +102,33 @@ def write_stage2_corpus(root, n_pieces=4, functional=True, n_bars=4):
     with open(os.path.join(root, 'dictionary.pkl'), 'wb') as f:
         pickle.dump((e2w, w2e), f)
     return events_dir, os.path.join(root, 'dictionary.pkl'), names
+
+
+def write_fullsong_corpus(root, n_pieces=4, functional=True, n_bars=4):
+    """One-stage full-song corpus: events/<piece>.pkl (pos, events) with
+    velocity+tempo, 4-quadrant emotions."""
+    from emo_disentanger_tpu.data.emopia import corpus_to_fullsong
+    events_dir = os.path.join(root, 'events')
+    os.makedirs(events_dir, exist_ok=True)
+    all_events = []
+    names = []
+    keys = ['C', 'a', 'G', 'e']
+    for i in range(n_pieces):
+        emotion = f'Q{(i % 4) + 1}'
+        midi = synth_midi(n_bars=n_bars, seed=300 + i)
+        corpus = quantize_to_corpus(analyze_midi(
+            midi, keys[i % 4], melody_only=False, relative_chord=functional))
+        pos, evs = corpus_to_fullsong(corpus, emotion,
+                                      relative_melody=functional,
+                                      relative_chord=functional)
+        name = f'{emotion}_full{i}.pkl'
+        with open(os.path.join(events_dir, name), 'wb') as f:
+            pickle.dump((pos, evs), f)
+        all_events.append(evs)
+        names.append(name)
+    e2w, w2e = events_to_dictionary(all_events, add_velocity=True,
+                                    add_tempo=True, num_emotion=4,
+                                    relative=functional)
+    with open(os.path.join(root, 'dictionary.pkl'), 'wb') as f:
+        pickle.dump((e2w, w2e), f)
+    return events_dir, os.path.join(root, 'dictionary.pkl'), names

@@ -136,3 +136,53 @@ def test_run_stage1_driver_batched(tmp_path):
     if summary['pieces'] > 0:
         assert any(f.endswith('.mid') for f in produced)
         assert any(f.endswith('_roman.txt') for f in produced)
+
+
+def test_run_stage1_fullsong_mode(tmp_path):
+    """One-stage REMI-baseline path: mode=full_song, Q1..Q4 emotions,
+    velocity+tempo events rendered to MIDI."""
+    import yaml
+    from helpers import write_fullsong_corpus
+    tmp = str(tmp_path)
+    root = os.path.join(tmp, 'corpus')
+    events_dir, vocab_path, names = write_fullsong_corpus(root, n_pieces=4)
+    cfg = {
+        'device': 'cpu', 'pretrained_optim_path': None,
+        'pretrained_param_path': None,
+        'model': {'d_word_embed': 32, 'pre_lnorm': True,
+                  'decoder': {'n_layer': 2, 'n_head': 2, 'd_model': 32,
+                              'd_ff': 64, 'dropout': 0.0, 'mem_len': 0,
+                              'tgt_len': 96}},
+        'data': {'data_dir': events_dir.replace('functional', '{}'),
+                 'train_split': 'x', 'val_split': 'x',
+                 'vocab_path': vocab_path.replace('functional', '{}'),
+                 'batch_size': 2, 'max_n_seg': 1},
+        'training': {'trained_steps': 0, 'trained_epochs': 0,
+                     'warmup_steps': 2, 'lr_decay_steps': 10,
+                     'max_lr': 1e-4, 'min_lr': 1e-5, 'max_epoch': 1,
+                     'val_interval': 1, 'log_interval': 1},
+        'output': {'ckpt_dir': os.path.join(tmp, 'c_{}'), 'ckpt_interval': 1},
+    }
+    cfg_path = os.path.join(tmp, 'full.yaml')
+    with open(cfg_path, 'w') as f:
+        yaml.safe_dump(cfg, f)
+
+    vocab = Vocab.load(vocab_path)
+    from emo_disentanger_tpu.train.train_stage1 import build_model_and_params
+    from emo_disentanger_tpu.utils.io import load_yaml
+    model, params = build_model_and_params(load_yaml(cfg_path), vocab)
+    ckpt = save_checkpoint(os.path.join(tmp, 'w'), 1, 9.9, params)
+
+    out_dir = os.path.join(tmp, 'gen')
+    from emo_disentanger_tpu.infer import run_stage1
+    summary = run_stage1.run(
+        cfg_path, 'functional', 'full_song', inference_params=ckpt,
+        output_dir=out_dir, n_groups=1, seed=1,
+        max_events_override=48, max_bars_override=2, batch_size=4)
+    produced = os.listdir(out_dir)
+    # Q1..Q4 outputs attempted; any that completed have mid+txt
+    if summary['pieces'] > 0:
+        assert any(f.endswith('.mid') for f in produced)
+        mids = [f for f in produced if f.endswith('.mid')]
+        from emo_disentanger_tpu.data.midi_io import MidiFile
+        MidiFile.parse(os.path.join(out_dir, mids[0]))
