@@ -204,3 +204,50 @@ def test_stage1_segmented_training_with_mems(stage1_data):
                 losses.append(float(loss))
     assert all(math.isfinite(l) for l in losses)
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_remi_representation_end_to_end(tmp_path):
+    """REMI (absolute) representation: corpus, vocab, dataset, train step."""
+    from helpers import write_stage1_corpus
+    root = str(tmp_path / 'remi')
+    events_dir, vocab_path, names = write_stage1_corpus(
+        root, n_pieces=4, functional=False)
+    vocab = Vocab.load(vocab_path)
+    # REMI has pitches, no Key/Octave/Degree tokens
+    assert any(e.startswith('Note_Pitch') for e in vocab.event2idx)
+    assert not any(e.startswith('Note_Degree') for e in vocab.event2idx)
+    assert not any(e.startswith('Key_') for e in vocab.event2idx)
+
+    dset = Stage1Dataset(events_dir, vocab, model_dec_seqlen=96)
+    s = dset[0]
+    inp_events = vocab.decode(s.dec_inp[:s.length])
+    assert inp_events[0].startswith('Emotion')
+    assert inp_events[1] == 'Bar_None'      # no Key prefix in REMI
+    # with prefix length 1 the reference arithmetic keeps EOS as a target
+    tgt_events = vocab.decode(s.dec_tgt[:s.length])
+    assert tgt_events[-1] == 'EOS_None'
+
+    model = PlainTransformer(vocab_size=vocab.size, n_layer=1, n_head=2,
+                             d_model=32, d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    optimizer = make_optimizer(OptimizerConfig(max_lr=1e-3, min_lr=1e-4,
+                                               warmup_steps=2,
+                                               lr_decay_steps=50))
+    state = init_train_state(params, optimizer)
+    step = make_train_step(stage1_loss_fn(model, vocab.pad_id), optimizer, None)
+    batch = next(dset.batches(4))
+    batch.pop('length')
+    state, loss, aux = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                            jax.random.PRNGKey(1), {})
+    assert np.isfinite(float(loss))
+
+    # REMI generation: functional=False -> no key-rule step
+    # (use state.params: the train step donated the original buffers)
+    from emo_disentanger_tpu.infer.stage1 import Stage1Generator
+    params = state.params
+    gen = Stage1Generator(model, params, vocab, temp=1.2, top_p=0.97,
+                          max_events=32, max_bars=2, functional=False,
+                          reject_slack=64)
+    events, stats = gen.generate('Positive', seed=2)
+    if events is not None:
+        assert not any(e.startswith('Key_') for e in events)
