@@ -105,14 +105,19 @@ class Stage2Generator:
             0, length, body, (state, jnp.zeros(self.vocab.size, jnp.float32)))
         return logits, state, t0 + length
 
-    def _reanchor_fn(self, tokens, segs):
-        """GPT-2 cache rebuild: one parallel forward over the last window."""
+    def _reanchor_fn(self, tokens, segs, length):
+        """GPT-2 cache rebuild: one parallel forward over the last window.
+
+        ``length`` is the number of real (non-PAD) tokens; the returned
+        logits are taken at the last real token so a window shorter than
+        ``self.window`` never continues generation from PAD-conditioned
+        logits."""
         logits, k, v = self.model.apply(
             self.params, tokens[None], segs[None], return_kv=True)
         pad = self.cache_len - tokens.shape[0]
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)))
-        return logits[0, -1], {'k': k, 'v': v}
+        return logits[0, length - 1], {'k': k, 'v': v}
 
     def _sample_fn(self, logits, state, t, out, out_len, cur_pos, failed,
                    rng, bars, target_bars):
@@ -294,5 +299,7 @@ class Stage2Generator:
         pad = self.window - len(keep)
         tok_arr = np.asarray(keep + [self.vocab.pad_id] * pad, dtype=np.int32)
         seg_arr = np.asarray(segs + [0] * pad, dtype=np.int32)
-        logits, cache = self._reanchor(jnp.asarray(tok_arr), jnp.asarray(seg_arr))
+        logits, cache = self._reanchor(jnp.asarray(tok_arr),
+                                       jnp.asarray(seg_arr),
+                                       jnp.int32(len(keep)))
         return logits, cache, jnp.int32(len(keep))

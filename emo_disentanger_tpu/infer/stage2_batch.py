@@ -259,7 +259,13 @@ class Stage2BatchGenerator:
                 # injection row = [Track_LeadSheet]? no: the sampled
                 # Track_LeadSheet opens the bar; inject bar events + Track_Full
                 row = list(bar) + [track_full]
-                row = row[:self.max_bar_tokens]
+                if len(row) > self.max_bar_tokens:
+                    raise ValueError(
+                        f'lead-sheet bar {k} of element {b} has {len(bar)} '
+                        f'tokens; bar + Track_Full terminator exceeds '
+                        f'max_bar_tokens={self.max_bar_tokens} — raise '
+                        f'max_bar_tokens (truncating would drop conditioning '
+                        f'events and the Track_Full terminator)')
                 inj_tokens[b, k, :len(row)] = row
                 inj_segs[b, k, :len(row)] = [0] * (len(row) - 1) + [1]
                 inj_len[b, k] = len(row)
@@ -285,9 +291,12 @@ class Stage2BatchGenerator:
         secs = time.time() - t0
 
         streams = []
+        status_np = np.asarray(status)
         for b in range(B):
             toks = out[b, :out_len[b]].tolist()
-            streams.append(toks[:-1])
+            # reference semantics: a stuck model returns the full partial
+            # stream; all other terminations drop the final token
+            streams.append(toks if status_np[b] == STATUS_STUCK else toks[:-1])
         stats = {'seconds': secs, 'status': np.asarray(status).tolist(),
                  'bars': np.asarray(bars).tolist(),
                  'events': out_len.tolist()}
