@@ -193,8 +193,13 @@ class MidiFile:
         self.max_tick = max(self.max_tick, tick)
 
     # ---------------------------------------------------------------- dump
-    def dump(self, path: str) -> None:
-        with open(path, 'wb') as f:
+    def dump(self, path: Optional[str] = None, *, filename: Optional[str] = None) -> None:
+        """Write the SMF bytes; accepts ``filename=`` as a keyword alias
+        (miditoolkit's dump signature, used by the reference pipelines)."""
+        target = path if path is not None else filename
+        if target is None:
+            raise TypeError('dump() needs a path')
+        with open(target, 'wb') as f:
             f.write(self.to_bytes())
 
     def to_bytes(self) -> bytes:
