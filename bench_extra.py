@@ -107,9 +107,13 @@ def bench_txl(batch, cache_len=1536):
     return batch * _time_scan(jax.jit(run), jnp.ones((batch,), jnp.int32), STEPS)
 
 
-def bench_train_step(batch=4, seqlen=3072):
+def bench_train_step(batch=4, seqlen=3072, dtype=jnp.float32):
     """Stage-2 Performer training step (fwd+bwd+Adam) at production shapes,
-    Pallas linear-attention kernel on the hot path."""
+    Pallas linear-attention kernel on the hot path.
+
+    ``dtype`` is the compute dtype (mixed precision: bf16 activations/matmuls
+    with f32 master weights, f32 Adam state, f32 kernel accumulation).
+    Returns (tokens/sec, mfu)."""
     import numpy as np
     from emo_disentanger_tpu.models import MusicPerformer
     from emo_disentanger_tpu.train import (
@@ -118,7 +122,7 @@ def bench_train_step(batch=4, seqlen=3072):
     from emo_disentanger_tpu.parallel.mesh import make_mesh, shard_batch
 
     model = MusicPerformer(n_token=VOCAB, n_layer=12, n_head=8, d_model=512,
-                           d_ff=2048, d_embed=512, favor_dims=128)
+                           d_ff=2048, d_embed=512, favor_dims=128, dtype=dtype)
     omegas = model.draw_omegas(jax.random.PRNGKey(1))
     params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
                         omegas, jnp.zeros((1, 8), jnp.int32))
@@ -136,7 +140,8 @@ def bench_train_step(batch=4, seqlen=3072):
         'melody_idx': np.zeros((batch, seqlen), 'int32'),
     })
     extras = {'omegas': omegas}
-    k = jax.random.PRNGKey(2)
+    from emo_disentanger_tpu.train.trainer import dropout_rng
+    k = dropout_rng(2)
     state, loss, _ = step(state, batch_data, k, extras)
     _force(loss)
     reps = 5
@@ -145,7 +150,13 @@ def bench_train_step(batch=4, seqlen=3072):
         state, loss, _ = step(state, batch_data, k, extras)
         _force(loss)
     dt = (time.perf_counter() - t0) / reps
-    return batch * seqlen / dt
+    tps = batch * seqlen / dt
+
+    # MFU: 6 FLOPs/param/token (fwd 2x + bwd 4x) over the v5e bf16 peak.
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(params))
+    mfu = 6.0 * n_params * tps / 197e12
+    return tps, mfu
 
 
 def bench_sampled_generation(batch=16, max_events=1500):
@@ -216,12 +227,18 @@ def main():
                       'value': round(tps, 1),
                       'unit': 'tokens/sec/chip'}))
 
-    tps = bench_train_step()
-    print(json.dumps({'metric': 'stage2 Performer train step '
-                                '(fwd+bwd+Adam, B=4, L=3072, f32, Pallas '
-                                'fwd+bwd kernels)',
-                      'value': round(tps, 1),
-                      'unit': 'tokens/sec/chip'}))
+    for batch, dtype, tag in [(4, jnp.float32, 'f32'),
+                              (4, jnp.bfloat16, 'bf16'),
+                              (16, jnp.bfloat16, 'bf16'),
+                              (32, jnp.bfloat16, 'bf16')]:
+        tps, mfu = bench_train_step(batch=batch, dtype=dtype)
+        print(json.dumps({'metric': 'stage2 Performer train step '
+                                    f'(fwd+bwd+Adam, B={batch}, L=3072, '
+                                    f'{tag} compute / f32 master+Adam, '
+                                    'Pallas fwd+bwd kernels)',
+                          'value': round(tps, 1),
+                          'unit': 'tokens/sec/chip',
+                          'mfu': round(mfu, 4)}))
 
 
 if __name__ == '__main__':

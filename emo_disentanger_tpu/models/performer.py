@@ -33,7 +33,7 @@ from .embeddings import (
 )
 from .txl import masked_cross_entropy
 from ..ops.linear_attention import (
-    causal_linear_attention, draw_orthogonal_features, favor_features,
+    draw_orthogonal_features, favor_causal_attention, favor_features,
     linear_attention_decode_step,
 )
 
@@ -72,9 +72,9 @@ class PerformerLayer(nn.Module):
         q = self._heads(self.q_proj(x))                       # [B,H,L,Dh]
         k = self._heads(self.k_proj(x))
         v = self._heads(self.v_proj(x))
-        phi_q = favor_features(q, omega, is_query=True)
-        phi_k = favor_features(k, omega, is_query=False)
-        attn = causal_linear_attention(phi_q, phi_k, v.astype(jnp.float32))
+        # feature map fused into the kernel: no [B,H,L,M] HBM intermediates;
+        # v stays in the compute dtype (f32 accumulation happens in-kernel)
+        attn = favor_causal_attention(q, k, v, omega)
         attn = attn.astype(x.dtype).swapaxes(1, 2).reshape(x.shape)
         x = x + self.drop(self.out_proj(attn), deterministic=deterministic)
 

@@ -445,6 +445,416 @@ causal_linear_attention.defvjp(_cla_fwd, _cla_bwd)
 
 
 # ---------------------------------------------------------------------------
+# fused FAVOR+ attention: feature map computed INSIDE the kernels
+#
+# Materializing phi(q)/phi(k) [B, H, L, M] in HBM dominates the training
+# step at production shapes (f32 tensors + XLA layout copies around the
+# kernel measured ~4x the attention math itself; B=32/L=3072 OOMs a v5e
+# chip on the saved residuals alone).  The fused op takes the raw q/k
+# projections [BH, L, Dh] and omega [Dh, M], computes the feature map
+# per chunk in VMEM, and recomputes it in the backward kernels instead of
+# saving it — HBM residuals shrink from 2x[BH, L, M] f32 to the q/k/v
+# inputs, and the q/k -> phi matmuls fuse into the MXU pipeline.
+#
+# Stabilizer convention (identical to favor_features): queries subtract a
+# per-position feature max (cancels in num/den); keys subtract ONE scalar
+# per batch*head row — computed by a cheap pre-pass kernel that reads only
+# k.  Both are stop-gradient.
+#
+# omega is a random-feature BUFFER, never trained (the reference strips
+# `feature_map.omega` from checkpoints, ``train.py:306-308``); its
+# gradient is defined as zero.
+# ---------------------------------------------------------------------------
+
+def _kmax_kernel(k_ref, omega_ref, m_ref, *, scale: float):
+    """Running max over (L, M) of h_k = ks @ omega - ||ks||^2/2, per row.
+    The output is a [GB, 128] lane-width tile (the scalar broadcast across
+    lanes): Mosaic's layout inference rejects sub-lane outputs."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+
+    ks = k_ref[...].astype(jnp.float32) * scale            # [GB, C, Dh]
+    omega = omega_ref[...]                                 # [Dh, M]
+    u = jax.lax.dot_general(ks, omega, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = u - 0.5 * jnp.sum(ks * ks, axis=-1, keepdims=True)
+    s = jnp.max(jnp.max(h, axis=1), axis=-1, keepdims=True)   # [GB, 1]
+    m_ref[...] = jnp.maximum(m_ref[...], jnp.broadcast_to(s, m_ref.shape))
+
+
+def _phi_chunk(x_ref, omega, scale, *, is_query: bool, m_ref=None):
+    """In-kernel feature map for one [GB, C, Dh] block -> phi [GB, C, M]
+    (and xs, needed by the backward chain rule)."""
+    xs = x_ref[...].astype(jnp.float32) * scale
+    u = jax.lax.dot_general(xs, omega, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = u - 0.5 * jnp.sum(xs * xs, axis=-1, keepdims=True)
+    if is_query:
+        h = h - jnp.max(h, axis=-1, keepdims=True)
+    else:
+        h = h - jnp.expand_dims(m_ref[...][:, 0:1], 1)     # [GB, 1, 1]
+    # keep the 1/sqrt(M) normalizer: it cancels in the num/den ratio ONLY
+    # up to the absolute eps in the denominator — dropping it would change
+    # the eps-regularized function vs favor_features + the unfused kernel
+    return jnp.exp(h) * (omega.shape[-1] ** -0.5), xs
+
+
+def _dphi_to_dx(dphi, phi, xs, omega, scale):
+    """Chain rule through phi = exp(xs @ omega - ||xs||^2/2) (stabilizers are
+    stop-gradient): dx = scale * ((dphi*phi) @ omega^T - rowsum(dphi*phi)*xs)."""
+    t = dphi * phi                                         # [GB, C, M]
+    dxs = (jax.lax.dot_general(t, omega, (((2,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           - jnp.sum(t, axis=-1, keepdims=True) * xs)
+    return dxs * scale
+
+
+def _fused_fwd_kernel(q_ref, k_ref, v_ref, m_ref, omega_ref, o_ref,
+                      s_scratch, z_scratch, *, chunk: int, scale: float,
+                      eps: float):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        s_scratch[...] = jnp.zeros_like(s_scratch)
+        z_scratch[...] = jnp.zeros_like(z_scratch)
+
+    omega = omega_ref[...]
+    q, _ = _phi_chunk(q_ref, omega, scale, is_query=True)
+    k, _ = _phi_chunk(k_ref, omega, scale, is_query=False, m_ref=m_ref)
+    v = v_ref[...].astype(jnp.float32)
+    S = s_scratch[...]
+    z = z_scratch[...]
+
+    bmm_t = (((2,), (2,)), ((0,), (0,)))
+    intra = jax.lax.dot_general(q, k, bmm_t, preferred_element_type=jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    intra = jnp.where((row >= col)[None], intra, 0.0)
+
+    bmm = (((2,), (1,)), ((0,), (0,)))
+    num = (jax.lax.dot_general(intra, v, bmm, preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(q, S, bmm, preferred_element_type=jnp.float32))
+    den = (jnp.sum(intra, axis=-1, keepdims=True)
+           + jax.lax.dot_general(q, z.swapaxes(1, 2), bmm,
+                                 preferred_element_type=jnp.float32))
+    o_ref[...] = (num / (den + eps)).astype(o_ref.dtype)
+
+    bmm_kt = (((1,), (1,)), ((0,), (0,)))
+    s_scratch[...] = S + jax.lax.dot_general(k, v, bmm_kt,
+                                             preferred_element_type=jnp.float32)
+    z_scratch[...] = z + jnp.sum(k, axis=1, keepdims=True)
+
+
+def _fused_bwd_a_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, omega_ref,
+                        dq_ref, uw_ref, s_scratch, z_scratch, *,
+                        chunk: int, scale: float, eps: float):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        s_scratch[...] = jnp.zeros_like(s_scratch)
+        z_scratch[...] = jnp.zeros_like(z_scratch)
+
+    omega = omega_ref[...]
+    q, qs = _phi_chunk(q_ref, omega, scale, is_query=True)
+    k, _ = _phi_chunk(k_ref, omega, scale, is_query=False, m_ref=m_ref)
+    v = v_ref[...].astype(jnp.float32)
+    g = g_ref[...].astype(jnp.float32)
+    S = s_scratch[...]
+    z = z_scratch[...]
+
+    bmm_t = (((2,), (2,)), ((0,), (0,)))
+    bmm = (((2,), (1,)), ((0,), (0,)))
+    intra = jax.lax.dot_general(q, k, bmm_t, preferred_element_type=jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tril = (row >= col)[None]
+    intra = jnp.where(tril, intra, 0.0)
+
+    num = (jax.lax.dot_general(intra, v, bmm, preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(q, S, bmm, preferred_element_type=jnp.float32))
+    den = (jnp.sum(intra, axis=-1, keepdims=True)
+           + jax.lax.dot_general(q, z.swapaxes(1, 2), bmm,
+                                 preferred_element_type=jnp.float32)) + eps
+    out = num / den
+    u = g / den
+    w = -jnp.sum(g * out, axis=-1, keepdims=True) / den
+    # pack (u [., Dv], w [., 1]) into one lane-dense tile: a separate
+    # [bh, L, 1] array would be padded 128x by the (8, 128) HBM tiling
+    Dv = u.shape[-1]
+    pad_w = uw_ref.shape[-1] - Dv - 1
+    uw_ref[...] = jnp.concatenate(
+        [u, w, jnp.zeros(w.shape[:-1] + (pad_w,), jnp.float32)], axis=-1)
+
+    a = jax.lax.dot_general(u, v, bmm_t, preferred_element_type=jnp.float32) + w
+    a = jnp.where(tril, a, 0.0)
+    bmm_st = (((2,), (2,)), ((0,), (0,)))
+    dphi_q = (jax.lax.dot_general(a, k, bmm, preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(u, S, bmm_st,
+                                    preferred_element_type=jnp.float32)
+              + w * z)
+    dq_ref[...] = _dphi_to_dx(dphi_q, q, qs, omega, scale).astype(dq_ref.dtype)
+
+    bmm_kt = (((1,), (1,)), ((0,), (0,)))
+    s_scratch[...] = S + jax.lax.dot_general(k, v, bmm_kt,
+                                             preferred_element_type=jnp.float32)
+    z_scratch[...] = z + jnp.sum(k, axis=1, keepdims=True)
+
+
+def _fused_bwd_b_kernel(q_ref, k_ref, v_ref, uw_ref, m_ref, omega_ref,
+                        dk_ref, dv_ref, r_scratch, rr_scratch, *,
+                        chunk: int, scale: float):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        r_scratch[...] = jnp.zeros_like(r_scratch)
+        rr_scratch[...] = jnp.zeros_like(rr_scratch)
+
+    omega = omega_ref[...]
+    q, _ = _phi_chunk(q_ref, omega, scale, is_query=True)
+    k, ks = _phi_chunk(k_ref, omega, scale, is_query=False, m_ref=m_ref)
+    v = v_ref[...].astype(jnp.float32)
+    uw = uw_ref[...]
+    Dv = v.shape[-1]
+    u = uw[:, :, :Dv]
+    w = uw[:, :, Dv:Dv + 1]                            # [GB, C, 1]
+    R = r_scratch[...]
+    r = rr_scratch[...]
+
+    bmm_t = (((2,), (2,)), ((0,), (0,)))
+    bmm = (((2,), (1,)), ((0,), (0,)))
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tril = (row >= col)[None]
+
+    a = jax.lax.dot_general(u, v, bmm_t, preferred_element_type=jnp.float32) + w
+    a = jnp.where(tril, a, 0.0)
+    aT = a.swapaxes(1, 2)
+    p = jax.lax.dot_general(q, k, bmm_t, preferred_element_type=jnp.float32)
+    p = jnp.where(tril, p, 0.0)
+    pT = p.swapaxes(1, 2)
+
+    bmm_st = (((2,), (2,)), ((0,), (0,)))
+    dphi_k = (jax.lax.dot_general(aT, q, bmm, preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(v, R, bmm_st,
+                                    preferred_element_type=jnp.float32)
+              + r)
+    dv = (jax.lax.dot_general(pT, u, bmm, preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(k, R, bmm, preferred_element_type=jnp.float32))
+    dk_ref[...] = _dphi_to_dx(dphi_k, k, ks, omega, scale).astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+    bmm_qt = (((1,), (1,)), ((0,), (0,)))
+    r_scratch[...] = R + jax.lax.dot_general(q, u, bmm_qt,
+                                             preferred_element_type=jnp.float32)
+    rr_scratch[...] = r + jnp.sum(w * q, axis=1, keepdims=True)
+
+
+def _fused_group_size(bh: int):
+    """Group size for the fused kernels: the m-stabilizer tile [gb, 128]
+    needs gb divisible by 8 or equal to bh (Mosaic block-shape rule).
+    Returns None when no valid grouping exists (caller falls back to the
+    unfused composition)."""
+    if bh % 8 == 0:
+        return 8
+    if bh <= 8:
+        return bh
+    return None
+
+
+def _fused_specs(bh, L, Dh, M, Dv, chunk):
+    gb = _fused_group_size(bh)
+    grid = (bh // gb, L // chunk)
+    blk = lambda c: pl.BlockSpec((gb, chunk, c), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    blk_rev = lambda c: pl.BlockSpec(
+        (gb, chunk, c), lambda i, j: (i, L // chunk - 1 - j, 0),
+        memory_space=pltpu.VMEM)
+    m_blk = pl.BlockSpec((gb, 128), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+    omega_blk = pl.BlockSpec((Dh, M), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)
+    return gb, grid, blk, blk_rev, m_blk, omega_blk
+
+
+def _fused_key_max(k2, omega, chunk, scale):
+    bh, L, Dh = k2.shape
+    M = omega.shape[-1]
+    gb, grid, blk, _, m_blk, omega_blk = _fused_specs(bh, L, Dh, M, Dh, chunk)
+    return pl.pallas_call(
+        functools.partial(_kmax_kernel, scale=scale),
+        grid=grid,
+        in_specs=[blk(Dh), omega_blk],
+        out_specs=m_blk,
+        out_shape=jax.ShapeDtypeStruct((bh, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(k2, omega)
+
+
+def _fused_fwd_impl(q2, k2, v2, omega, chunk, eps):
+    bh, L, Dh = q2.shape
+    M = omega.shape[-1]
+    Dv = v2.shape[-1]
+    scale = Dh ** -0.25
+    m = _fused_key_max(k2, omega, chunk, scale)
+    gb, grid, blk, _, m_blk, omega_blk = _fused_specs(bh, L, Dh, M, Dv, chunk)
+    return pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, chunk=chunk, scale=scale, eps=eps),
+        grid=grid,
+        in_specs=[blk(Dh), blk(Dh), blk(Dv), m_blk, omega_blk],
+        out_specs=blk(Dv),
+        out_shape=jax.ShapeDtypeStruct((bh, L, Dv), q2.dtype),
+        scratch_shapes=[pltpu.VMEM((gb, M, Dv), jnp.float32),
+                        pltpu.VMEM((gb, 1, M), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(q2, k2, v2, m, omega)
+
+
+def _fused_bwd_impl(q2, k2, v2, g2, omega, chunk, eps):
+    bh, L, Dh = q2.shape
+    M = omega.shape[-1]
+    Dv = v2.shape[-1]
+    scale = Dh ** -0.25
+    m = _fused_key_max(k2, omega, chunk, scale)
+    gb, grid, blk, blk_rev, m_blk, omega_blk = _fused_specs(
+        bh, L, Dh, M, Dv, chunk)
+    m_blk_rev = m_blk  # constant over j either way
+
+    UW = -(-(Dv + 1) // 128) * 128        # lane-dense (u, w) pack width
+    dq, uw = pl.pallas_call(
+        functools.partial(_fused_bwd_a_kernel, chunk=chunk, scale=scale,
+                          eps=eps),
+        grid=grid,
+        in_specs=[blk(Dh), blk(Dh), blk(Dv), blk(Dv), m_blk, omega_blk],
+        out_specs=(blk(Dh), blk(UW)),
+        out_shape=(jax.ShapeDtypeStruct((bh, L, Dh), q2.dtype),
+                   jax.ShapeDtypeStruct((bh, L, UW), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((gb, M, Dv), jnp.float32),
+                        pltpu.VMEM((gb, 1, M), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(q2, k2, v2, g2, m, omega)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_fused_bwd_b_kernel, chunk=chunk, scale=scale),
+        grid=grid,
+        in_specs=[blk_rev(Dh), blk_rev(Dh), blk_rev(Dv), blk_rev(UW),
+                  m_blk_rev, omega_blk],
+        out_specs=(blk_rev(Dh), blk_rev(Dv)),
+        out_shape=(jax.ShapeDtypeStruct((bh, L, Dh), k2.dtype),
+                   jax.ShapeDtypeStruct((bh, L, Dv), v2.dtype)),
+        scratch_shapes=[pltpu.VMEM((gb, M, Dv), jnp.float32),
+                        pltpu.VMEM((gb, 1, M), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(q2, k2, v2, uw, m, omega)
+
+    return dq, dk, dv
+
+
+def _favor_compose(q, k, v, omega, chunk, eps):
+    """Unfused reference composition (also the CPU path): favor_features +
+    the chunked scan.  Differentiable."""
+    phi_q = favor_features(q, omega, is_query=True)
+    phi_k = favor_features(k, omega, is_query=False)
+    out = _padded_call(_scan_impl, phi_q, phi_k, v.astype(jnp.float32),
+                       chunk, eps)
+    return out
+
+
+def _fused_flatten(x):
+    *lead, L, D = x.shape
+    bh = 1
+    for s in lead:
+        bh *= s
+    return x.reshape(bh, L, D), lead
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def favor_causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                           omega: jax.Array, chunk: int = 128,
+                           eps: float = EPS) -> jax.Array:
+    """FAVOR+ causal linear attention with the feature map fused into the
+    kernel.  q/k [..., L, Dh] raw projections, v [..., L, Dv],
+    omega [Dh, M].  Returns [..., L, Dv] in q's dtype (f32 accumulation
+    in-kernel; bf16 inputs get a bf16 output, halving HBM traffic).  Same
+    function as
+    ``causal_linear_attention(favor_features(q), favor_features(k), v)``;
+    omega's gradient is defined as zero (random-feature buffer, never
+    trained — reference strips it from checkpoints, ``train.py:306-308``).
+    """
+    if not _use_pallas():
+        return _favor_compose(q, k, v, omega, chunk, eps).astype(q.dtype)
+    bh = 1
+    for d in q.shape[:-2]:
+        bh *= d
+    if _fused_group_size(bh) is None:
+        return _favor_compose(q, k, v, omega, chunk, eps).astype(q.dtype)
+    q2, lead = _fused_flatten(q)
+    k2, _ = _fused_flatten(k)
+    v2, _ = _fused_flatten(v)
+    L = q2.shape[1]
+    Dv = v2.shape[-1]
+    pad = (-L) % chunk
+    if pad:
+        q2 = jnp.pad(q2, ((0, 0), (0, pad), (0, 0)))
+        k2 = jnp.pad(k2, ((0, 0), (0, pad), (0, 0)))
+        v2 = jnp.pad(v2, ((0, 0), (0, pad), (0, 0)))
+    out = _fused_fwd_impl(q2, k2, v2, omega.astype(jnp.float32), chunk, eps)
+    if pad:
+        out = out[:, :L]
+    return out.reshape(*lead, L, Dv)
+
+
+def _fca_fwd(q, k, v, omega, chunk, eps):
+    out = favor_causal_attention(q, k, v, omega, chunk, eps)
+    return out, (q, k, v, omega)
+
+
+def _fca_bwd(chunk, eps, residuals, g):
+    q, k, v, omega = residuals
+    bh = 1
+    for d in q.shape[:-2]:
+        bh *= d
+    if not _use_pallas() or _fused_group_size(bh) is None:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _favor_compose(q_, k_, v_, omega, chunk,
+                                              eps).astype(q.dtype),
+            q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, jnp.zeros_like(omega)
+    q2, lead = _fused_flatten(q)
+    k2, _ = _fused_flatten(k)
+    v2, _ = _fused_flatten(v)
+    g2, _ = _fused_flatten(g)
+    L = q2.shape[1]
+    pad = (-L) % chunk
+    if pad:
+        q2 = jnp.pad(q2, ((0, 0), (0, pad), (0, 0)))
+        k2 = jnp.pad(k2, ((0, 0), (0, pad), (0, 0)))
+        v2 = jnp.pad(v2, ((0, 0), (0, pad), (0, 0)))
+        g2 = jnp.pad(g2, ((0, 0), (0, pad), (0, 0)))
+    dq, dk, dv = _fused_bwd_impl(q2, k2, v2, g2, omega.astype(jnp.float32),
+                                 chunk, eps)
+    if pad:
+        dq, dk, dv = dq[:, :L], dk[:, :L], dv[:, :L]
+    return (dq.reshape(q.shape).astype(q.dtype),
+            dk.reshape(k.shape).astype(k.dtype),
+            dv.reshape(v.shape).astype(v.dtype),
+            jnp.zeros_like(omega))
+
+
+favor_causal_attention.defvjp(_fca_fwd, _fca_bwd)
+
+
+# ---------------------------------------------------------------------------
 # decode: O(1) carried state
 # ---------------------------------------------------------------------------
 

@@ -57,6 +57,14 @@ def shard_batch(mesh: Mesh, batch):
         batch)
 
 
+def dp_padded_batch_size(mesh: Mesh, batch_size: int) -> int:
+    """Smallest batch size >= ``batch_size`` divisible by the mesh's dp
+    axis.  Batch-sharded device_put requires dim 0 % dp == 0; drivers pad
+    short/odd batches with PAD-target rows (zero loss weight) up to this."""
+    dp = mesh.shape.get('dp', mesh.size)
+    return -(-batch_size // dp) * dp
+
+
 def pad_batch_to(batch: dict, batch_size: int) -> dict:
     """Pad a possibly-short final batch up to ``batch_size`` by repeating the
     last row (keeps shapes static for jit; metrics weight by true size)."""

@@ -21,10 +21,11 @@ import numpy as np
 from ..core.vocab import Vocab
 from ..data.datasets import Stage1Dataset
 from ..models.txl import PlainTransformer
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import (dp_padded_batch_size, make_mesh, shard_batch)
 from ..utils.io import pickle_load, load_yaml
 from ..utils.logging import EpochLogger, write_valloss_line
 from .trainer import (
+    dropout_rng,
     OptimizerConfig, TrainState, accuracy_sums, finalize_accuracy,
     init_train_state, make_eval_step, make_optimizer, make_train_step,
     stage1_loss_fn,
@@ -143,9 +144,10 @@ def run(config_path: str, representation: str, *,
     logger = EpochLogger(os.path.join(ckpt_dir, log_name))
 
     batch_size = config['data']['batch_size']
+    eff_batch_size = dp_padded_batch_size(mesh, batch_size)
     max_epoch = max_epoch_override or tconf['max_epoch']
     train_steps = tconf.get('trained_steps') or 0
-    rng = jax.random.PRNGKey(seed + 1)
+    rng = dropout_rng(seed + 1)   # rbg: fast TPU dropout masks
     recons_loss = float('nan')
 
     for ep in range(start_epoch, max_epoch):
@@ -155,7 +157,7 @@ def run(config_path: str, representation: str, *,
             if max_batches_per_epoch and bidx >= max_batches_per_epoch:
                 break
             bsz = batch['dec_inp'].shape[0]
-            batch = neutralize_pad_rows(batch, batch_size, vocab.pad_id)
+            batch = neutralize_pad_rows(batch, eff_batch_size, vocab.pad_id)
             batch = shard_batch(mesh, {k: v for k, v in batch.items()
                                        if k != 'length'})
             rng, sub = jax.random.split(rng)
@@ -176,7 +178,7 @@ def run(config_path: str, representation: str, *,
             val_losses = []
             acc_sums = None
             for batch in val_dset.batches(batch_size, shuffle=False):
-                batch = neutralize_pad_rows(batch, batch_size, vocab.pad_id)
+                batch = neutralize_pad_rows(batch, eff_batch_size, vocab.pad_id)
                 batch = shard_batch(mesh, {k: v for k, v in batch.items()
                                            if k != 'length'})
                 loss, aux = eval_step(state.params, batch, {})

@@ -21,10 +21,11 @@ from ..core.vocab import Vocab
 from ..data.datasets import Stage2Dataset
 from ..models.performer import MusicPerformer
 from ..models.gpt2 import MusicGPT2
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import (dp_padded_batch_size, make_mesh, shard_batch)
 from ..utils.io import pickle_load, load_yaml
 from ..utils.logging import EpochLogger, write_valloss_line
 from .trainer import (
+    dropout_rng,
     OptimizerConfig, finalize_accuracy, init_train_state, make_eval_step,
     make_optimizer, make_train_step, stage2_gpt2_loss_fn,
     stage2_performer_loss_fn,
@@ -125,10 +126,11 @@ def run(config_path: str, representation: str, model_type: str, *,
     logger = EpochLogger(os.path.join(ckpt_dir, 'log.txt'))
 
     batch_size = dconf['batch_size']
+    eff_batch_size = dp_padded_batch_size(mesh, batch_size)
     redraw_prob = tconf.get('feat_redraw_prob', 0.0)
     max_epoch = max_epoch_override or tconf['num_epochs']
     train_steps = 0
-    rng = jax.random.PRNGKey(seed + 1)
+    rng = dropout_rng(seed + 1)   # rbg: fast TPU dropout masks
     host_rng = np.random.RandomState(seed + 2)
     recons_loss = float('nan')
 
@@ -139,7 +141,7 @@ def run(config_path: str, representation: str, model_type: str, *,
             if max_batches_per_epoch and bidx >= max_batches_per_epoch:
                 break
             bsz = batch['dec_inp'].shape[0]
-            batch = neutralize_pad_rows(batch, batch_size, vocab.pad_id)
+            batch = neutralize_pad_rows(batch, eff_batch_size, vocab.pad_id)
             batch = shard_batch(mesh, {k: v for k, v in batch.items()
                                        if k != 'length'})
             extras = {}
@@ -167,7 +169,7 @@ def run(config_path: str, representation: str, model_type: str, *,
         acc_sums = None
         extras = {'omegas': omegas} if model_type == 'performer' else {}
         for batch in val_dset.batches(batch_size, shuffle=False):
-            batch = neutralize_pad_rows(batch, batch_size, vocab.pad_id)
+            batch = neutralize_pad_rows(batch, eff_batch_size, vocab.pad_id)
             batch = shard_batch(mesh, {k: v for k, v in batch.items()
                                        if k != 'length'})
             loss, aux = eval_step(state.params, batch, extras)

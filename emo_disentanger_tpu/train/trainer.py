@@ -58,6 +58,16 @@ def init_train_state(params, optimizer) -> TrainState:
                       opt_state=optimizer.init(params))
 
 
+def dropout_rng(seed: int) -> jax.Array:
+    """Dropout key using the hardware-friendly ``rbg`` PRNG.
+
+    The default threefry PRNG generates dropout masks in software on the
+    VPU — measured ~95 ms per stage-2 train step at B=16/L=3072 (~40% of
+    the whole step).  rbg keys cut that to ~25 ms with identical dropout
+    semantics (different stream; dropout needs no cross-impl parity)."""
+    return jax.random.key(seed, impl='rbg')
+
+
 def accuracy_sums(logits: jax.Array, targets: jax.Array, chord_mask: jax.Array,
                   melody_mask: jax.Array, pad_id: int) -> Dict[str, jax.Array]:
     """Correct/total counts for total/chord/melody/others accuracy.

@@ -8,7 +8,8 @@ import pytest
 
 from emo_disentanger_tpu.ops.linear_attention import (
     causal_linear_attention, causal_linear_attention_ref, _scan_impl,
-    draw_orthogonal_features, favor_features, linear_attention_decode_step,
+    draw_orthogonal_features, favor_causal_attention, favor_features,
+    linear_attention_decode_step,
 )
 
 
@@ -115,3 +116,66 @@ def test_favor_approximates_softmax(rng_key):
     scores = jnp.where(mask, scores, -1e30)
     exact = jnp.einsum('bhij,bhjd->bhid', jax.nn.softmax(scores, -1), v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(exact), atol=0.15)
+
+
+# ---------------------------------------------------------------------------
+# fused FAVOR+ attention (feature map inside the kernel)
+# ---------------------------------------------------------------------------
+
+def _random_qkv(key, B=2, H=2, L=64, Dh=16, Dv=16):
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (B, H, L, Dh))
+    k = jax.random.normal(k2, (B, H, L, Dh))
+    v = jax.random.normal(k3, (B, H, L, Dv))
+    return q, k, v
+
+
+def test_fused_matches_composition(rng_key):
+    q, k, v = _random_qkv(rng_key)
+    omega = draw_orthogonal_features(jax.random.PRNGKey(5), 16, 32)
+    fused = favor_causal_attention(q, k, v, omega, 16)
+    phi_q = favor_features(q, omega, is_query=True)
+    phi_k = favor_features(k, omega, is_query=False)
+    composed = causal_linear_attention(phi_q, phi_k, v, 16)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(composed),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_odd_length(rng_key):
+    q, k, v = _random_qkv(rng_key, L=41)
+    omega = draw_orthogonal_features(jax.random.PRNGKey(5), 16, 32)
+    fused = favor_causal_attention(q, k, v, omega, 16)
+    phi_q = favor_features(q, omega, is_query=True)
+    phi_k = favor_features(k, omega, is_query=False)
+    composed = causal_linear_attention_ref(phi_q, phi_k, v)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(composed),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_gradients_match_composition(rng_key):
+    q, k, v = _random_qkv(rng_key, B=1, H=1, L=32, Dh=8, Dv=8)
+    omega = draw_orthogonal_features(jax.random.PRNGKey(5), 8, 16)
+
+    def loss_fused(q_, k_, v_):
+        return jnp.sum(favor_causal_attention(q_, k_, v_, omega, 16) ** 2)
+
+    def loss_composed(q_, k_, v_):
+        phi_q = favor_features(q_, omega, is_query=True)
+        phi_k = favor_features(k_, omega, is_query=False)
+        return jnp.sum(causal_linear_attention_ref(phi_q, phi_k, v_) ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_c = jax.grad(loss_composed, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_fused_omega_gradient_is_zero(rng_key):
+    """omega is a random-feature buffer, never trained — its gradient is
+    defined as zero (the reference strips feature_map.omega from
+    checkpoints)."""
+    q, k, v = _random_qkv(rng_key, B=1, H=1, L=16, Dh=8, Dv=8)
+    omega = draw_orthogonal_features(jax.random.PRNGKey(5), 8, 16)
+    g = jax.grad(lambda o: jnp.sum(favor_causal_attention(q, k, v, o, 16)))(omega)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)

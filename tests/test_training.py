@@ -168,6 +168,53 @@ def test_stage2_performer_train_step_multidevice(stage2_data):
     assert np.mean(losses[-2:]) < np.mean(losses[:2])
 
 
+def test_stage2_mixed_precision_matches_f32_loss_curve(stage2_data):
+    """bf16 compute / f32 master weights: the mixed-precision train step must
+    keep f32 params+Adam state and track the f32 loss curve (VERDICT r1 #2)."""
+    events_dir, vocab_path, names = stage2_data
+    vocab = Vocab.load(vocab_path)
+    dset = Stage2Dataset(events_dir, vocab, model_dec_seqlen=256)
+    mesh = make_mesh(8)
+
+    def train(dtype):
+        model = MusicPerformer(n_token=vocab.size, n_layer=2, n_head=2,
+                               d_model=32, d_ff=64, d_embed=32, dropout=0.0,
+                               favor_dims=16, dtype=dtype)
+        omegas = model.draw_omegas(jax.random.PRNGKey(3))
+        params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                            omegas, jnp.zeros((1, 8), jnp.int32))
+        # master weights must be f32 regardless of compute dtype
+        assert all(p.dtype == jnp.float32
+                   for p in jax.tree_util.tree_leaves(params))
+        optimizer = make_optimizer(OptimizerConfig(max_lr=1e-3, min_lr=1e-4,
+                                                   warmup_steps=2,
+                                                   lr_decay_steps=100))
+        state = init_train_state(params, optimizer)
+        loss_fn = stage2_performer_loss_fn(model, vocab.pad_id)
+        train_step = make_train_step(loss_fn, optimizer, mesh)
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for epoch in range(8):
+            for batch in dset.batches(8, shuffle=True):
+                batch = neutralize_pad_rows(batch, 8, vocab.pad_id)
+                batch.pop('length')
+                batch = shard_batch(mesh, batch)
+                rng, sub = jax.random.split(rng)
+                state, loss, _ = train_step(state, batch, sub,
+                                            {'omegas': omegas})
+                losses.append(float(loss))
+        return losses
+
+    f32 = train(jnp.float32)
+    bf16 = train(jnp.bfloat16)
+    assert all(math.isfinite(l) for l in bf16)
+    assert np.mean(bf16[-2:]) < np.mean(bf16[:2])          # it learns
+    # same trajectory within bf16 noise
+    assert abs(bf16[0] - f32[0]) < 0.05 * max(1.0, f32[0])
+    assert abs(np.mean(bf16[-4:]) - np.mean(f32[-4:])) < \
+        0.15 * max(1.0, np.mean(f32[-4:]))
+
+
 def test_stage1_segmented_training_with_mems(stage1_data):
     """Multi-segment XL training: two segments per long piece, memories
     carried with per-sample lengths; losses finite and improving."""
