@@ -56,6 +56,7 @@ class Stage2Generator:
                  max_events: int = 10000,
                  gpt2_cache_len: int = 4096,
                  gpt2_window: int = 2048,
+                 reanchor_margin: int = 256,
                  omegas: Optional[jax.Array] = None,
                  forbid: Optional[np.ndarray] = None):
         self.model = model
@@ -68,6 +69,7 @@ class Stage2Generator:
         self.max_events = max_events
         self.cache_len = gpt2_cache_len
         self.window = gpt2_window
+        self.reanchor_margin = reanchor_margin
         self.omegas = omegas
         # optional inadmissible-token mask (e.g. construct_inadmissible_set)
         self.forbid = None if forbid is None else jnp.asarray(forbid)
@@ -252,7 +254,8 @@ class Stage2Generator:
                     inj_segs = [0] * (len(inject) - 1) + [1]
                     # GPT-2: re-anchor when the cache cannot hold the bar
                     if (not self.is_performer
-                            and int(t) + len(inject) + 256 >= self.cache_len):
+                            and int(t) + len(inject) + self.reanchor_margin
+                            >= self.cache_len):
                         logits, state, t = self._do_reanchor(all_tokens, all_segs)
                     logits, state, t = self._run_inject(inject, inj_segs, t, state)
                     host_out = np.array(out)

@@ -17,10 +17,16 @@ AND the per-bar teacher-forced lead-sheet injection unify into a single
 
 Supports both backbones: the Performer carries per-layer FAVOR+ (S, z)
 state (positions only matter for the PE lookup), while GPT-2 writes its KV
-cache at per-element clocks (``decode_step_batchpos``; no window re-anchor
-in batched mode — songs longer than the cache end with STATUS_MAX, and the
-host-orchestrated :class:`~..infer.stage2.Stage2Generator` remains the
-unbounded-length GPT-2 path).
+cache at per-element clocks (``decode_step_batchpos``) and re-anchors the
+window IN the device loop: when any element's clock nears the cache end
+(mid-bar ``t >= cache_len - 2`` guard, or the bar-boundary
+``t + len(inject) + 256 >= cache_len`` margin — the same trigger points as
+the host-orchestrated :class:`~..infer.stage2.Stage2Generator`), a
+``lax.cond`` branch runs ONE batched parallel forward over each flagged
+element's trailing window (gathered from the output buffer), rebuilds its
+KV cache, resets its clock and replaces its logits, so songs of unbounded
+length never truncate (reference sliding window:
+``stage2_accompaniment/inference.py:19,253-257``).
 """
 
 from __future__ import annotations
@@ -55,11 +61,21 @@ class Stage2BatchGenerator:
                  batch: int, temp: float = 1.1, top_p: float = 0.99,
                  max_events: int = 10000, max_bar_tokens: int = 256,
                  max_bars: int = 128, gpt2_cache_len: int = 4096,
+                 gpt2_window: int = 2048, reanchor_margin: int = 256,
                  omegas: Optional[jax.Array] = None):
         self.is_performer = isinstance(model, MusicPerformer)
         if self.is_performer and omegas is None:
             raise ValueError('Performer decoding needs drawn omegas')
         self.gpt2_cache_len = gpt2_cache_len
+        self.gpt2_window = gpt2_window
+        self.reanchor_margin = reanchor_margin
+        if not self.is_performer:
+            # re-anchor resets t to <= window; a full injected bar must then
+            # fit before the mid-bar guard (which only fires in SAMPLE mode)
+            assert gpt2_cache_len - 2 >= gpt2_window + max_bar_tokens, \
+                'gpt2_cache_len must cover gpt2_window + max_bar_tokens'
+            assert max_events + 8 >= gpt2_window, \
+                'output buffer shorter than the re-anchor window'
         self.model = model
         self.params = params
         self.vocab = vocab
@@ -83,6 +99,53 @@ class Stage2BatchGenerator:
         B = self.batch
         sample_v = jax.vmap(nucleus_sample, in_axes=(0, 0, None, None))
         max_iters = self.max_events * 2 + 8192
+
+        def reanchor_all(s):
+            """One batched parallel forward over each flagged element's
+            trailing window; rebuilds cache/clock/logits for flagged rows
+            only (mirrors ``Stage2Generator._do_reanchor``)."""
+            W = self.gpt2_window
+            start = jnp.maximum(s['out_len'] - W, 0)
+            slice_w = jax.vmap(
+                lambda buf, st: jax.lax.dynamic_slice(buf, (st,), (W,)))
+            toks = slice_w(s['out'], start)
+            segw = slice_w(s['out_segs'], start)
+            keep_len = jnp.minimum(s['out_len'], W)
+            valid = jnp.arange(W)[None, :] < keep_len[:, None]
+            toks = jnp.where(valid, toks, self.vocab.pad_id)
+            segw = jnp.where(valid, segw, 0)
+            logits_full, k, v = self.model.apply(self.params, toks, segw,
+                                                 return_kv=True)
+            new_logits = logits_full[jnp.arange(B), keep_len - 1]
+            padc = self.gpt2_cache_len - W
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, padc), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, padc), (0, 0), (0, 0)))
+            flag = s['need_re']
+            fsel = flag.reshape((1, B, 1, 1, 1))
+            state = {
+                'k': jnp.where(fsel, k.astype(s['state']['k'].dtype),
+                               s['state']['k']),
+                'v': jnp.where(fsel, v.astype(s['state']['v'].dtype),
+                               s['state']['v']),
+            }
+            return dict(
+                s, state=state,
+                logits=jnp.where(flag[:, None], new_logits, s['logits']),
+                t=jnp.where(flag, keep_len, s['t']),
+                reanchors=s['reanchors'] + flag.astype(jnp.int32),
+                need_re=jnp.zeros_like(flag))
+
+        def maybe_reanchor(s):
+            # the host path checks the cache guard BEFORE sampling from the
+            # carried logits (``stage2.py _sample_fn cond``), so the check
+            # lives at the top of the body and this step's sample is drawn
+            # from the re-anchored logits
+            mid = ((s['status'] == STATUS_RUNNING) & ~s['in_primer']
+                   & (s['mode'] == MODE_SAMPLE)
+                   & (s['t'] >= self.gpt2_cache_len - 2))
+            s = dict(s, need_re=s['need_re'] | mid)
+            return jax.lax.cond(jnp.any(s['need_re']), reanchor_all,
+                                lambda s: s, s)
 
         def model_step(token, seg, t, state, advance):
             if self.is_performer:
@@ -113,6 +176,13 @@ class Stage2BatchGenerator:
 
             s = dict(
                 state=state,
+                # seg stream mirrors ``Stage2Generator``'s all_segs (primer
+                # tokens are seg 0 — zeros suffice); needed because seg is
+                # NOT a pure function of the token id (lead-sheet events
+                # reappear as full-track samples with seg 1)
+                out_segs=jnp.zeros((B, self.max_events + 8), jnp.int32),
+                need_re=jnp.zeros((B,), jnp.bool_),
+                reanchors=jnp.zeros((B,), jnp.int32),
                 logits=jnp.zeros((B, self.vocab.size), jnp.float32),
                 t=jnp.zeros((B,), jnp.int32),          # per-element position
                 out=out,
@@ -137,6 +207,8 @@ class Stage2BatchGenerator:
                 return jnp.any(running(s)) & (s['iters'] < max_iters)
 
             def body(s):
+                if not self.is_performer:
+                    s = maybe_reanchor(s)
                 rng, sub = jax.random.split(s['rng'])
                 keys = jax.random.split(sub, B)
                 act = running(s)
@@ -185,6 +257,10 @@ class Stage2BatchGenerator:
                 out = jnp.where(
                     append[:, None],
                     s['out'].at[jnp.arange(B), idx].set(token), s['out'])
+                out_segs = jnp.where(
+                    append[:, None],
+                    s['out_segs'].at[jnp.arange(B), idx].set(seg),
+                    s['out_segs'])
                 out_len = s['out_len'] + append.astype(jnp.int32)
 
                 # primer progress
@@ -211,10 +287,17 @@ class Stage2BatchGenerator:
 
                 eos_final = sampling & advance & is_eos[token] & ~eos_early
                 status = jnp.where(act & stuck, STATUS_STUCK, s['status'])
+                need_re = s['need_re']
                 if not self.is_performer:
-                    # no window re-anchor in batched mode: cap at the cache
-                    status = jnp.where(act & (t >= self.gpt2_cache_len - 2),
-                                       STATUS_MAX, status)
+                    # bar-boundary re-anchor trigger: the host path checks
+                    # ``t + len(inject) + margin >= cache_len`` before
+                    # injecting the next bar (stage2.py:254-256)
+                    next_bar = jnp.minimum(bars, inj_tokens.shape[1] - 1)
+                    next_len = inj_len[jnp.arange(B), next_bar]
+                    reinj = (bar_done & more
+                             & (t + next_len + self.reanchor_margin
+                                >= self.gpt2_cache_len))
+                    need_re = need_re | reinj
                 status = jnp.where(act & eos_final, STATUS_EOS, status)
                 status = jnp.where(act & (out_len > self.max_events),
                                    STATUS_MAX, status)
@@ -222,13 +305,16 @@ class Stage2BatchGenerator:
                                    status)
 
                 return dict(state=state, logits=logits, t=t, out=out,
-                            out_len=out_len, mode=mode, primer_pos=primer_pos,
-                            in_primer=in_primer, bars=bars, inj_pos=inj_pos,
-                            cur_pos=cur_pos, failed=failed, status=status,
-                            iters=s['iters'] + 1, rng=rng)
+                            out_segs=out_segs, out_len=out_len, mode=mode,
+                            primer_pos=primer_pos, in_primer=in_primer,
+                            bars=bars, inj_pos=inj_pos, cur_pos=cur_pos,
+                            failed=failed, status=status, need_re=need_re,
+                            reanchors=s['reanchors'], iters=s['iters'] + 1,
+                            rng=rng)
 
             s = jax.lax.while_loop(cond, body, s)
-            return s['out'], s['out_len'], s['status'], s['bars']
+            return (s['out'], s['out_len'], s['status'], s['bars'],
+                    s['reanchors'])
 
         return loop
 
@@ -281,7 +367,7 @@ class Stage2BatchGenerator:
             primer_len[b] = len(p)
 
         t0 = time.time()
-        out, out_len, status, bars = self._loop(
+        out, out_len, status, bars, reanchors = self._loop(
             jnp.asarray(inj_tokens), jnp.asarray(inj_segs),
             jnp.asarray(inj_len), jnp.asarray(primer_arr),
             jnp.asarray(primer_len), jnp.asarray(target_bars),
@@ -299,5 +385,6 @@ class Stage2BatchGenerator:
             streams.append(toks if status_np[b] == STATUS_STUCK else toks[:-1])
         stats = {'seconds': secs, 'status': np.asarray(status).tolist(),
                  'bars': np.asarray(bars).tolist(),
-                 'events': out_len.tolist()}
+                 'events': out_len.tolist(),
+                 'reanchors': np.asarray(reanchors).tolist()}
         return streams, stats

@@ -71,7 +71,7 @@ def test_batched_stage2_gpt2():
               vocab.event2idx['Tempo_110']]
     gen = Stage2BatchGenerator(model, params, vocab, batch=2, temp=1.2,
                                top_p=0.97, max_events=120, max_bar_tokens=32,
-                               max_bars=4, gpt2_cache_len=256)
+                               max_bars=4, gpt2_cache_len=256, gpt2_window=128)
     streams, stats = gen.generate([primer, primer],
                                   [[list(bar)] * 2, [list(bar)] * 3], seed=5)
     for b, stream in enumerate(streams):
@@ -82,6 +82,64 @@ def test_batched_stage2_gpt2():
     streams2, _ = gen.generate([primer, primer],
                                [[list(bar)] * 2, [list(bar)] * 3], seed=5)
     assert streams == streams2
+
+
+def test_batched_gpt2_reanchor_matches_host_path(monkeypatch):
+    """Generating past the GPT-2 cache must window-re-anchor INSIDE the
+    batched device loop and reproduce the host-orchestrated Stage2Generator
+    stream exactly.
+
+    Sampling is patched to pure argmax in BOTH loops, removing the
+    RNG-stream difference: stream equality then depends only on correct
+    state/cache/clock management across the re-anchors — a wrong window,
+    clock, or logits row would flip some argmax downstream.  A moderate
+    Track_LeadSheet bias keeps bars completing so the streams actually grow
+    past the cache."""
+    from emo_disentanger_tpu.models import MusicGPT2
+    import emo_disentanger_tpu.infer.stage2 as s2
+    import emo_disentanger_tpu.infer.stage2_batch as s2b
+
+    def argmax_sample(key, logits, temperature, top_p, forbid=None):
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    monkeypatch.setattr(s2, 'nucleus_sample', argmax_sample)
+    monkeypatch.setattr(s2b, 'nucleus_sample', argmax_sample)
+
+    vocab = tiny_vocab2()
+    tl = vocab.event2idx['Track_LeadSheet']
+    model = MusicGPT2(n_token=vocab.size, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.zeros((1, 8), jnp.int32))
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: x.at[tl].add(1.0)
+        if ('out_proj' in jax.tree_util.keystr(path)
+            and 'bias' in jax.tree_util.keystr(path)) else x, params)
+    bar = [vocab.event2idx[e] for e in
+           ['Bar_None', 'Beat_0', 'Chord_I_M', 'Note_Octave_5',
+            'Note_Degree_I', 'Note_Duration_480']]
+    primer = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
+              vocab.event2idx['Tempo_110']]
+    kw = dict(temp=1.0, top_p=0.9, max_events=400, gpt2_cache_len=192,
+              gpt2_window=96, reanchor_margin=16)
+    n_bars = 24
+    host = s2.Stage2Generator(model, params, vocab, **kw)
+    host_stream, host_stats = host.generate(primer, [list(bar)] * n_bars,
+                                            seed=7)
+    assert host_stats['bars'] == n_bars
+
+    B = 2
+    gen = s2b.Stage2BatchGenerator(model, params, vocab, batch=B,
+                                   max_bar_tokens=32, max_bars=n_bars, **kw)
+    streams, stats = gen.generate([primer] * B, [[list(bar)] * n_bars] * B,
+                                  seed=7)
+    assert max(stats['reanchors']) > 0, \
+        'test shapes must actually trigger a re-anchor'
+    for b in range(B):
+        assert streams[b] == host_stream, (
+            f'element {b}: batched stream diverged from host path '
+            f'(host status {host_stats["status"]}, '
+            f'batched status {stats["status"][b]}, '
+            f'reanchors {stats["reanchors"][b]})')
 
 
 def test_batched_gpt2_matches_singlepos_decode():
