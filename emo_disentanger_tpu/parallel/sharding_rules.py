@@ -40,6 +40,13 @@ DEFAULT_RULES = [
 
 def _spec_for(path, leaf, rules) -> P:
     names = tuple(getattr(p, 'key', getattr(p, 'name', None)) for p in path)
+    # the Performer reuses the name ``out_proj`` for the per-layer attention
+    # output projection (contracting: row-parallel) AND the final vocab
+    # projection (expanding: column-parallel); disambiguate by layer scope
+    if names[-2:] == ('out_proj', 'kernel') and any(
+            isinstance(n, str) and n.startswith(('layer_', 'block_'))
+            for n in names):
+        return P('tp', None)
     for suffix, spec in rules:
         if names[-len(suffix):] == suffix:
             # only shard when the dimension divides evenly
@@ -65,3 +72,26 @@ def shard_params(params, mesh: Mesh, rules=None):
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
+
+
+def placement_report(params, mesh: Mesh, rules=None):
+    """Map each param path to its intended PartitionSpec (after the
+    divisibility check) — used by tests to assert PER-RULE placement rather
+    than just "something is sharded"."""
+    rules = rules if rules is not None else DEFAULT_RULES
+    tp = mesh.shape.get('tp', 1)
+    report = {}
+
+    def visit(path, leaf):
+        names = tuple(getattr(p, 'key', getattr(p, 'name', None)) for p in path)
+        spec = _spec_for(path, leaf, rules)
+        if tp > 1 and spec != P():
+            for dim, axis in enumerate(spec):
+                if axis == 'tp' and leaf.shape[dim] % tp:
+                    spec = P()
+                    break
+        report['/'.join(str(n) for n in names)] = spec
+        return leaf
+
+    jax.tree_util.tree_map_with_path(visit, params)
+    return report

@@ -127,10 +127,17 @@ def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
     if mesh is not None and mesh.size > 1:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
-        kwargs = dict(
-            in_shardings=(repl, data, repl, repl),
-            out_shardings=(repl, repl, repl),
-        )
+        if mesh.shape.get('tp', 1) > 1:
+            # tensor-parallel params carry committed NamedShardings from
+            # sharding_rules.shard_params — leave state/outputs unspecified
+            # so the partitioner propagates them (forcing repl would
+            # all-gather every kernel each step)
+            kwargs = dict(in_shardings=(None, data, None, None))
+        else:
+            kwargs = dict(
+                in_shardings=(repl, data, repl, repl),
+                out_shardings=(repl, repl, repl),
+            )
     return jax.jit(step, donate_argnums=(0,) if donate else (), **kwargs)
 
 
@@ -142,7 +149,11 @@ def make_eval_step(loss_fn: Callable, mesh: Optional[Mesh] = None):
     if mesh is not None and mesh.size > 1:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
-        kwargs = dict(in_shardings=(repl, data, repl), out_shardings=(repl, repl))
+        if mesh.shape.get('tp', 1) > 1:
+            kwargs = dict(in_shardings=(None, data, None))
+        else:
+            kwargs = dict(in_shardings=(repl, data, repl),
+                          out_shardings=(repl, repl))
     return jax.jit(step, **kwargs)
 
 
