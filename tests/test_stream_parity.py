@@ -141,8 +141,14 @@ def test_stage1_prompt_mode_stream_parity(tmp_path):
     """Prompt continuation (multi-token primer, prompt_bars) parity.
 
     Pinned to seeds that agree: across seeds 0..15 the streams are
-    token-exact on 15/16 (the one divergence is a single fp32
-    nucleus-boundary flip after an identical 18-token prefix)."""
+    token-exact on 15/16.  The one divergence (seed 9) is measured and
+    documented in PARITY.md section 1: after an identical 18-token prefix
+    both sides keep the identical 32-candidate nucleus set and the shared
+    RNG draw lands at sorted position 28 on both — but two near-tied
+    candidate probabilities (gap 2.2e-5 < the ~5e-5 fp32 torch-vs-flax
+    logit noise at that step) swap argsort rank, returning Bar_None on the
+    reference vs EOS_None here.  A rank swap of near-ties, not a
+    nucleus-boundary change; irreducible without bit-identical matmuls."""
     vocab = _vocab()
     m = ref_loader.load_stage1_models()
     torch.manual_seed(21)
