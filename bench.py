@@ -1,8 +1,8 @@
-"""Benchmark: stage-2 Performer decode throughput on one chip.
+"""Benchmark: one-chip headline numbers (driver contract).
 
-Serving configuration: bfloat16 weights, batched songs (B=16 — e.g. four
-emotion quadrants x four groups decoded simultaneously), greedy scan over the
-O(1)-state decode path (per-layer FAVOR+ (S, z) carry).
+Primary metric: stage-2 Performer decode throughput — serving configuration
+(bfloat16 weights, B=16 batched songs, greedy scan over the O(1)-state decode
+path carrying per-layer FAVOR+ (S, z)).
 
 ``vs_baseline`` compares against an in-framework reimplementation of the
 reference's decode strategy — one full forward of the last-2048-token window
@@ -10,8 +10,15 @@ per generated token (``stage2_accompaniment/inference.py:250-257``) — run at
 the SAME batch size and precision on the SAME chip, so the ratio isolates the
 algorithmic speedup of carrying state instead of re-encoding the window.
 
-Prints one JSON line:
-  {"metric": ..., "value": tokens/sec/chip, "unit": ..., "vs_baseline": x}
+The ``extra`` object carries the other driver-verified headline metrics:
+  * stage-2 Performer train step (fwd+bwd+Adam, B=16, L=3072, bf16 compute /
+    f32 master weights + Adam) in tokens/sec and MFU vs the v5e bf16 peak;
+  * stage-1 TXL decode (KV-cache flash-decode, B=16, bf16);
+  * stage-2 GPT-2 decode (KV cache, B=16, bf16).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tokens/sec/chip, "unit": ..., "vs_baseline": x,
+   "extra": {...}}
 """
 
 import json
@@ -93,33 +100,60 @@ def bench_reference_style(model, params, omegas, batch=BATCH,
     return batch / dt
 
 
+def extra_metrics():
+    """Secondary driver-verified metrics; failures degrade to partial data
+    rather than breaking the primary contract."""
+    import bench_extra
+    extra = {}
+    try:
+        tps, mfu = bench_extra.bench_train_step(batch=16, seqlen=3072,
+                                                dtype=jnp.bfloat16)
+        extra['train_step_B16_L3072_bf16_tokens_per_sec'] = round(tps, 1)
+        extra['train_step_B16_L3072_bf16_mfu'] = round(mfu, 4)
+    except Exception as e:                            # pragma: no cover
+        extra['train_step_error'] = str(e)[:200]
+    try:
+        extra['stage1_txl_decode_B16_tokens_per_sec'] = round(
+            bench_extra.bench_txl(16), 1)
+    except Exception as e:                            # pragma: no cover
+        extra['stage1_txl_error'] = str(e)[:200]
+    try:
+        extra['stage2_gpt2_decode_B16_tokens_per_sec'] = round(
+            bench_extra.bench_gpt2(16), 1)
+    except Exception as e:                            # pragma: no cover
+        extra['stage2_gpt2_error'] = str(e)[:200]
+    return extra
+
+
 def main():
     model, params, omegas = build_model()
     try:
         ours = bench_state_decode(model, params, omegas)
         ref = bench_reference_style(model, params, omegas)
-        print(json.dumps({
+        result = {
             'metric': 'stage2 Performer decode throughput '
                       '(12L/512d, bf16, greedy, B=16, vs window re-forward at '
                       'equal batch/precision)',
             'value': round(ours, 2),
             'unit': 'tokens/sec/chip',
             'vs_baseline': round(ours / ref, 2),
-        }))
+        }
     except Exception:
         # fallback: smaller shapes so a compile hiccup through the remote
         # relay still yields the one-line JSON contract
         ours = bench_state_decode(model, params, omegas, batch=4, n_steps=256)
         ref = bench_reference_style(model, params, omegas, batch=4,
                                     ctx_len=1024, n_tokens=4)
-        print(json.dumps({
+        result = {
             'metric': 'stage2 Performer decode throughput '
                       '(12L/512d, bf16, greedy, B=4 fallback, vs window '
                       're-forward at equal batch/precision)',
             'value': round(ours, 2),
             'unit': 'tokens/sec/chip',
             'vs_baseline': round(ours / ref, 2),
-        }))
+        }
+    result['extra'] = extra_metrics()
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':

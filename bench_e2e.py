@@ -1,0 +1,182 @@
+"""Measured two-stage songs/min on one chip (the reference's end-to-end
+contract: stage-1 lead sheets -> ``*_roman.txt`` -> stage-2 performances ->
+``*_full.mid``, ``stage2_accompaniment/inference.py:422-485``) — wall-clock
+over the WHOLE pipeline including the host-side txt/MIDI file IO, replacing
+the previously derived figure with a measurement.
+
+Configuration (stated in the metric): production-shape models (stage-1 12L
+TXL, stage-2 12L Performer, 512d, bf16 weights), the synthetic-corpus
+4-quadrant functional vocabulary (~340 events — the full synthetic vocab,
+near production size), random weights (the pipeline work is identical; only
+the sampled token mix differs from trained weights), stage-1 batched at B=4
+(axon AOT compile cap), stage-2 batched at B=16.  Song profile mirrors
+production: stage-1 runs to its 512-event budget; each lead sheet renders
+two arousal quadrants; stage-2 songs run to ~3000 events (teacher-forced
+bars re-injected on repeat up to 16 bars).  Compile time is excluded via one
+same-shape warmup call (serving amortizes compilation).
+
+Prints one JSON line: {"metric", "value" (songs/min/chip), "unit", "detail"}.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from itertools import chain
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), 'tests'))
+
+S1_EVENTS = 512
+S2_EVENTS = 3000
+S2_BARS = 16
+S1_BATCH = 4
+S2_BATCH = 16
+N_FILES = 8      # stage-1 pieces; each renders 2 quadrants => 16 songs
+
+
+def build_models(vocab):
+    from emo_disentanger_tpu.models import PlainTransformer, MusicPerformer
+    from emo_disentanger_tpu.utils.precision import cast_params
+    s1 = PlainTransformer(vocab_size=vocab.size, n_layer=12, n_head=8,
+                          d_model=512, d_ff=2048, d_embed=512,
+                          dtype=jnp.bfloat16)
+    p1 = cast_params(s1.init(jax.random.PRNGKey(0),
+                             jnp.ones((1, 8), jnp.int32)))
+    s2 = MusicPerformer(n_token=vocab.size, n_layer=12, n_head=8, d_model=512,
+                        d_ff=2048, d_embed=512, favor_dims=128,
+                        dtype=jnp.bfloat16)
+    omegas = s2.draw_omegas(jax.random.PRNGKey(1))
+    p2 = cast_params(s2.init(jax.random.PRNGKey(2),
+                             jnp.ones((1, 8), jnp.int32), omegas,
+                             jnp.zeros((1, 8), jnp.int32)))
+    return s1, p1, s2, p2, omegas
+
+
+def stage1_to_files(gen1, vocab, out_dir, seed):
+    """Batched stage-1 -> *_roman.txt files (run_stage1 contract: the
+    emotion token is dropped; key must lead the stream)."""
+    from emo_disentanger_tpu.infer.pipeline import events_to_txt
+    os.makedirs(out_dir, exist_ok=True)
+    fallback = ['Key_C'] + ['Bar_None', 'Beat_0', 'Chord_I_M',
+                            'Note_Octave_5', 'Note_Degree_I',
+                            'Note_Duration_480'] * 2
+    files = []
+    n_s1_tokens = 0
+    for g0 in range(0, N_FILES, S1_BATCH):
+        emotions = [('Q1' if (g0 + i) % 2 == 0 else 'Q2')
+                    for i in range(S1_BATCH)]
+        songs, stats = gen1.generate(emotions, seed=seed + g0,
+                                     target_bars=128)
+        n_s1_tokens += sum(stats['events'])
+        for i, song in enumerate(songs):
+            idx = g0 + i
+            valence = 'Positive' if emotions[i] == 'Q1' else 'Negative'
+            # run_stage1 contract: strip Emotion, ensure a leading Key
+            evs = (song or [])[1:]
+            if not evs or not evs[0].startswith('Key_') \
+                    or 'Bar_None' not in evs:
+                key = next((e for e in (evs or []) if e.startswith('Key_')),
+                           'Key_C')
+                evs = [key] + [e for e in fallback[1:]]
+            path = os.path.join(out_dir,
+                                f'samp_{idx:02d}_{valence}_roman.txt')
+            events_to_txt(evs, path)
+            files.append(path)
+    return files, n_s1_tokens
+
+
+def stage2_render(gen2, vocab, files, out_dir, seed):
+    """Batched stage-2 over (file x quadrant) jobs -> *_full.mid."""
+    from emo_disentanger_tpu.infer.pipeline import (
+        emotion_candidates_for_file, extract_midi_events_from_generation,
+        read_generated_events)
+    from emo_disentanger_tpu.infer.convert2midi import events_to_midi
+    jobs = []
+    for path in files:
+        key, lead_bars = read_generated_events(path, vocab.event2idx)
+        # repeat bars up to the production bar count so stage-2 songs run to
+        # their full ~3000-event profile
+        bars = (lead_bars * ((S2_BARS // max(len(lead_bars), 1)) + 1))[:S2_BARS]
+        for emo in emotion_candidates_for_file(path):
+            primer = [vocab.event2idx[f'Emotion_{emo}'],
+                      vocab.event2idx[key], vocab.event2idx['Tempo_110']]
+            jobs.append((path, emo, key, primer, bars))
+    assert len(jobs) == S2_BATCH, f'{len(jobs)} jobs != batch {S2_BATCH}'
+    streams, stats = gen2.generate([j[3] for j in jobs],
+                                   [j[4] for j in jobs], seed=seed)
+    for (path, emo, key, _, _), toks in zip(jobs, streams):
+        gen_events = vocab.decode(toks)
+        try:
+            bars = extract_midi_events_from_generation(key, gen_events,
+                                                       relative_melody=True)
+            midi_path = path.replace('_roman.txt', f'_{emo}_full.mid')
+            events_to_midi(key, list(chain(*bars)), 'full',
+                           output_midi_path=midi_path)
+        except Exception:
+            # random-weight streams can be structurally degenerate; the
+            # decode/render work is still counted
+            pass
+    return sum(stats['events'])
+
+
+def main():
+    from helpers import write_stage2_corpus
+    from emo_disentanger_tpu.core.vocab import Vocab
+    from emo_disentanger_tpu.infer.stage1_batch import Stage1BatchGenerator
+    from emo_disentanger_tpu.infer.stage2_batch import Stage2BatchGenerator
+
+    tmp = tempfile.mkdtemp(prefix='bench_e2e_')
+    try:
+        _, vocab_path, _ = write_stage2_corpus(os.path.join(tmp, 'corpus'),
+                                               n_pieces=4)
+        vocab = Vocab.load(vocab_path)
+        s1, p1, s2, p2, omegas = build_models(vocab)
+        gen1 = Stage1BatchGenerator(s1, p1, vocab, batch=S1_BATCH,
+                                    temp=1.2, top_p=0.97,
+                                    max_events=S1_EVENTS, max_bars=128)
+        gen2 = Stage2BatchGenerator(s2, p2, vocab, batch=S2_BATCH, temp=1.1,
+                                    top_p=0.99, max_events=S2_EVENTS,
+                                    max_bar_tokens=64, max_bars=S2_BARS,
+                                    omegas=omegas)
+
+        # warmup: compile both loops at the production shapes
+        warm_dir = os.path.join(tmp, 'warm')
+        files, _ = stage1_to_files(gen1, vocab, warm_dir, seed=100)
+        stage2_render(gen2, vocab, files[:N_FILES], warm_dir, seed=101)
+
+        # measured run: full pipeline including file IO
+        out_dir = os.path.join(tmp, 'gen')
+        t0 = time.perf_counter()
+        files, s1_tokens = stage1_to_files(gen1, vocab, out_dir, seed=0)
+        s2_tokens = stage2_render(gen2, vocab, files, out_dir, seed=1)
+        secs = time.perf_counter() - t0
+
+        n_songs = S2_BATCH
+        mids = [f for f in os.listdir(out_dir) if f.endswith('_full.mid')]
+        print(json.dumps({
+            'metric': 'two-stage songs/min MEASURED end-to-end (stage-1 '
+                      'B=4 TXL 512ev -> roman.txt -> stage-2 B=16 Performer '
+                      f'~{S2_EVENTS}ev -> .mid, bf16, random weights, '
+                      'compile excluded via warmup)',
+            'value': round(60.0 * n_songs / secs, 2),
+            'unit': 'songs/min/chip',
+            'detail': {
+                'wall_seconds': round(secs, 2),
+                'songs': n_songs,
+                'stage1_tokens': int(s1_tokens),
+                'stage2_tokens': int(s2_tokens),
+                'midi_files': len(mids),
+            },
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -23,7 +23,8 @@ def main(argv=None):
     parser.add_argument('-p', '--play_midi', default=False, action='store_true')
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--batch', type=int, default=0,
-                        help='device-batched jobs (performer backbone only)')
+                        help='device-batched jobs (both backbones; GPT-2 '
+                             're-anchors its window inside the device loop)')
     args = parser.parse_args(argv)
 
     from ..infer import run_stage2

@@ -40,8 +40,8 @@ def run(config_path: str, representation: str, model_type: str, *,
         batch_size: int = 0) -> dict:
     """``batch_size > 0`` decodes that many (file, quadrant) jobs
     simultaneously in one device loop
-    (:class:`..infer.stage2_batch.Stage2BatchGenerator`; GPT-2 batched mode
-    caps songs at the cache length instead of re-anchoring)."""
+    (:class:`..infer.stage2_batch.Stage2BatchGenerator`; both backbones —
+    GPT-2 re-anchors its window inside the device loop)."""
     config = load_yaml(config_path)
     functional = representation == 'functional'
     samp = SAMPLING[model_type]

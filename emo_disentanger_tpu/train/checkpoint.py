@@ -79,6 +79,35 @@ def load_checkpoint(path: str, params_template: Any,
     return params, opt_state
 
 
+def gc_checkpoints(ckpt_dir: str, keep_last: int,
+                   keep_best: bool = True) -> list:
+    """Keep-last-k retention: delete all but the ``keep_last`` most recent
+    checkpoints (by epoch) — and, with ``keep_best``, always retain the
+    lowest-loss one.  Returns the deleted paths.  The reference keeps every
+    interval checkpoint (``stage1_compose/train.py:317-323``); long
+    pretrains at ckpt_interval=1 fill disks without a policy."""
+    import shutil
+    if keep_last <= 0 or not os.path.isdir(ckpt_dir):
+        return []
+    entries = []
+    for name in os.listdir(ckpt_dir):
+        m = CKPT_RE.match(name)
+        if m:
+            entries.append((int(m.group(1)),
+                            float(m.group(2).rstrip('.')), name))
+    entries.sort()                                    # by epoch
+    protect = {name for _, _, name in entries[-keep_last:]}
+    if keep_best and entries:
+        protect.add(min(entries, key=lambda e: e[1])[2])
+    deleted = []
+    for _, _, name in entries:
+        if name not in protect:
+            path = os.path.join(ckpt_dir, name)
+            shutil.rmtree(path, ignore_errors=True)
+            deleted.append(path)
+    return deleted
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None

@@ -30,7 +30,7 @@ from .trainer import (
     init_train_state, make_eval_step, make_optimizer, make_train_step,
     stage1_loss_fn,
 )
-from .checkpoint import save_checkpoint, load_checkpoint
+from .checkpoint import gc_checkpoints, save_checkpoint, load_checkpoint
 from .convert_pt import convert_stage1_pt
 
 
@@ -173,6 +173,9 @@ def run(config_path: str, representation: str, *,
         if (ep + 1) % config['output']['ckpt_interval'] == 0:
             save_checkpoint(os.path.join(ckpt_dir, 'params'), ep + 1,
                             recons_loss, state.params, state.opt_state)
+            keep = config['output'].get('ckpt_keep_last', 0)
+            if keep:
+                gc_checkpoints(os.path.join(ckpt_dir, 'params'), keep)
 
         if (ep + 1) % tconf['val_interval'] == 0:
             val_losses = []

@@ -30,7 +30,7 @@ from .trainer import (
     make_optimizer, make_train_step, stage2_gpt2_loss_fn,
     stage2_performer_loss_fn,
 )
-from .checkpoint import save_checkpoint, load_checkpoint
+from .checkpoint import gc_checkpoints, save_checkpoint, load_checkpoint
 from .convert_pt import convert_performer_pt, convert_gpt2_pt
 from .train_stage1 import neutralize_pad_rows
 
@@ -163,6 +163,9 @@ def run(config_path: str, representation: str, model_type: str, *,
         if (ep + 1) % tconf['ckpt_interval'] == 0:
             save_checkpoint(os.path.join(ckpt_dir, 'params'), ep + 1,
                             recons_loss, state.params, state.opt_state)
+            if tconf.get('ckpt_keep_last', 0):
+                gc_checkpoints(os.path.join(ckpt_dir, 'params'),
+                               tconf['ckpt_keep_last'])
 
         # validate every epoch (reference val_interval = 1)
         val_losses = []

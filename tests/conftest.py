@@ -16,6 +16,12 @@ jax.config.update('jax_platforms', 'cpu')
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        'markers', 'slow: multi-process recipe smokes (deselect with '
+        '-m "not slow")')
+
+
 @pytest.fixture(scope='session')
 def rng_key():
     import jax

@@ -211,3 +211,27 @@ def test_async_checkpoint_roundtrip(tmp_path):
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert opt is not None
+
+
+def test_checkpoint_gc_keep_last(tmp_path):
+    """gc_checkpoints retains the k most recent epochs plus the best loss."""
+    from emo_disentanger_tpu.train.checkpoint import (
+        gc_checkpoints, latest_checkpoint, save_checkpoint)
+    from emo_disentanger_tpu.models import PlainTransformer
+
+    model = PlainTransformer(vocab_size=20, n_layer=1, n_head=2, d_model=16,
+                             d_ff=32, d_embed=16)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32))
+    d = str(tmp_path)
+    losses = [3.0, 1.0, 2.5, 2.0, 1.5]          # best is ep002
+    for ep, loss in enumerate(losses, start=1):
+        save_checkpoint(d, ep, loss, params)
+
+    deleted = gc_checkpoints(d, keep_last=2)
+    names = sorted(n for n in os.listdir(d) if n.startswith('ep'))
+    # last two epochs + the best-loss ep002 survive
+    assert names == ['ep002_loss1.000', 'ep004_loss2.000', 'ep005_loss1.500']
+    assert len(deleted) == 2
+    assert latest_checkpoint(d).endswith('ep005_loss1.500')
+    # idempotent
+    assert gc_checkpoints(d, keep_last=2) == []

@@ -298,3 +298,47 @@ def test_remi_representation_end_to_end(tmp_path):
     events, stats = gen.generate('Positive', seed=2)
     if events is not None:
         assert not any(e.startswith('Key_') for e in events)
+
+
+def test_checked_train_step_flags_nonfinite():
+    """utils.debug.checked_train_step surfaces NaNs through checkify; a
+    healthy step reports no error."""
+    import numpy as np
+    from emo_disentanger_tpu.models import MusicPerformer
+    from emo_disentanger_tpu.train import (
+        OptimizerConfig, init_train_state, make_optimizer,
+        stage2_performer_loss_fn)
+    from emo_disentanger_tpu.utils.debug import (
+        assert_all_finite, checked_train_step)
+
+    model = MusicPerformer(n_token=32, n_layer=1, n_head=2, d_model=16,
+                           d_ff=32, d_embed=16, dropout=0.0, favor_dims=8)
+    omegas = model.draw_omegas(jax.random.PRNGKey(1))
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32),
+                        omegas, jnp.zeros((1, 4), jnp.int32))
+    optimizer = make_optimizer(OptimizerConfig(max_lr=1e-3, warmup_steps=1))
+    state = init_train_state(params, optimizer)
+    step = checked_train_step(stage2_performer_loss_fn(model, 31), optimizer)
+    rng = np.random.RandomState(0)
+    batch = {
+        'dec_inp': rng.randint(0, 31, (2, 8)).astype('int32'),
+        'dec_tgt': rng.randint(0, 31, (2, 8)).astype('int32'),
+        'track_mask': np.zeros((2, 8), 'int32'),
+        'chord_idx': np.zeros((2, 8), 'int32'),
+        'melody_idx': np.zeros((2, 8), 'int32'),
+    }
+    err, (new_state, loss, _) = step(state, batch, None, {'omegas': omegas})
+    err.throw()                                     # healthy: no error
+    assert np.isfinite(float(loss))
+    assert_all_finite(new_state.params, 'params')
+
+    # poison one kernel with NaN: the checked step must flag it
+    bad = jax.tree_util.tree_map(lambda x: x, params)
+    bad['params']['out_proj']['kernel'] = \
+        bad['params']['out_proj']['kernel'].at[0, 0].set(jnp.nan)
+    bad_state = init_train_state(bad, optimizer)
+    err, _ = step(bad_state, batch, None, {'omegas': omegas})
+    with pytest.raises(Exception):
+        err.throw()
+    with pytest.raises(ValueError):
+        assert_all_finite(bad, 'poisoned')
