@@ -51,8 +51,8 @@ def run(config_path: str, representation: str, mode: str, *,
         prompts: Optional[List] = None,
         batch_size: int = 0) -> dict:
     """``batch_size > 0`` decodes that many songs per device call via
-    :class:`..infer.stage1_batch.Stage1BatchGenerator` (single-emotion-token
-    primers only; prompt mode falls back to the sequential path)."""
+    :class:`..infer.stage1_batch.Stage1BatchGenerator` (emotion-token or
+    prompt-continuation primers)."""
     config = load_yaml(config_path)
     params_cfg = MODE_PARAMS[mode]
     functional = representation == 'functional'
@@ -80,7 +80,7 @@ def run(config_path: str, representation: str, mode: str, *,
             jobs.append((group, emotion, out_name))
 
     results = {}   # out_name -> (events, seconds)
-    if batch_size > 0 and prompts is None and jobs:
+    if batch_size > 0 and jobs:
         from .stage1_batch import Stage1BatchGenerator
         bgen = Stage1BatchGenerator(
             model, params, vocab, batch=batch_size,
@@ -89,8 +89,17 @@ def run(config_path: str, representation: str, mode: str, *,
         for g0 in range(0, len(jobs), batch_size):
             group_jobs = jobs[g0:g0 + batch_size]
             padded = group_jobs + [group_jobs[0]] * (batch_size - len(group_jobs))
+            kwargs = {}
+            if prompts is not None:
+                primers, targets = [], []
+                for group, emotion, _ in padded:
+                    prompt_evs, n_bars = prompts[group]
+                    primers.append(['Emotion_{}'.format(emotion)]
+                                   + prompt_evs[1:])
+                    targets.append(n_bars)
+                kwargs = dict(primers=primers, target_bars=targets)
             songs, stats = bgen.generate([j[1] for j in padded],
-                                         seed=seed + g0)
+                                         seed=seed + g0, **kwargs)
             for i, (group, emotion, out_name) in enumerate(group_jobs):
                 results[out_name] = (songs[i],
                                      stats['seconds'] / max(len(group_jobs), 1))

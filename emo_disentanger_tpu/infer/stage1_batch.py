@@ -39,21 +39,35 @@ def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
 
     sample_v = jax.vmap(nucleus_sample, in_axes=(0, 0, None, None))
 
-    def song(params, primer: jax.Array, target_bars: jax.Array,
+    def song(params, primer: jax.Array, primer_len: jax.Array,
+             prompt_bars: jax.Array, target_bars: jax.Array,
              want_major: jax.Array, rng: jax.Array):
-        """primer [B] (single emotion tokens), target_bars/want_major [B]."""
+        """primer [B, P] (token matrix; single-emotion mode is P=1),
+        primer_len/prompt_bars/target_bars/want_major [B].
+
+        Prompt continuation (reference ``generate_plain_xl`` primer +
+        prompt_bars, ``inference_utils.py:61-75``): primer tokens are
+        teacher-forced before sampling begins.  Elements whose primer is
+        shorter than the batch max re-feed their last primer token for the
+        remaining iterations — identical cache semantics to a rejected
+        sample (the reference also re-feeds the last token on rejects), so
+        the shared lockstep write clock is preserved."""
         cache = model.apply(params, batch, max_klen,
                             method=PlainTransformer.init_decode_cache)
+        P = primer.shape[1]
         out = jnp.zeros((batch, max_events + 8), dtype=jnp.int32)
-        out = out.at[:, 0].set(primer)
+        out = jax.lax.dynamic_update_slice(out, primer, (0, 0))
+        pos0 = jnp.arange(max_events + 8)
+        out = jnp.where(pos0[None, :] < primer_len[:, None], out, 0)
 
         state = dict(
             cache=cache,
             t=jnp.int32(0),
-            last=primer,
+            last=primer[:, 0],
+            fed=jnp.ones((batch,), jnp.int32),   # primer tokens consumed
             out=out,
-            out_len=jnp.ones((batch,), jnp.int32),
-            bars=jnp.zeros((batch,), jnp.int32),
+            out_len=primer_len.astype(jnp.int32),
+            bars=prompt_bars.astype(jnp.int32),
             cur_pos=jnp.zeros((batch,), jnp.int32),
             failed=jnp.zeros((batch,), jnp.int32),
             iters=jnp.int32(0),
@@ -68,39 +82,63 @@ def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
             return jnp.any(running(s)) & (s['iters'] < max_iters)
 
         def body(s):
+            # full_attention: the chunked flash decode's fori_loop composes
+            # with this while_loop's carried output buffer into a program
+            # the axon AOT helper cannot compile at batch >= 8 (SIGABRT /
+            # timeout; bisected 2026-08) — the whole-cache einsum compiles
+            # at any batch and unblocks B=16 stage-1 serving
             logits, cache = model.apply(params, s['last'], s['t'], s['cache'],
+                                        full_attention=True,
                                         method=PlainTransformer.decode_step)
             t = s['t'] + 1
             rng, sub = jax.random.split(s['rng'])
             keys = jax.random.split(sub, batch)
 
-            key_step = jnp.logical_and(functional, s['out_len'] == 1)
+            # elements still consuming their primer teacher-force the next
+            # primer token; rules/bars/appends don't apply to them
+            in_primer = s['fed'] < primer_len
+            prim_next = primer[jnp.arange(batch),
+                               jnp.minimum(s['fed'], P - 1)]
+
+            key_step = (jnp.logical_and(functional, s['out_len'] == 1)
+                        & ~in_primer)
             w_main = sample_v(keys, logits, temp, top_p)
             w_key = sample_v(keys, logits, key_temp, key_top_p)
-            word = jnp.where(key_step, w_key, w_main)
+            word = jnp.where(in_primer, prim_next,
+                             jnp.where(key_step, w_key, w_main))
 
             key_ok = is_key[word] & (key_major[word] == want_major)
             reject_key = key_step & ~key_ok
             reject_beat = is_beat[word] & (beat_pos[word] < s['cur_pos']) & ~reject_key
             reject_pad = is_pad[word] & ~reject_key & ~reject_beat
-            reject = reject_key | reject_beat | reject_pad
+            reject = (reject_key | reject_beat | reject_pad) & ~in_primer
 
             act = running(s)
-            failed = jnp.where(act & reject_beat, s['failed'] + 1,
-                               jnp.where(act & is_beat[word] & ~reject, 0,
+            sampled = act & ~in_primer
+            failed = jnp.where(sampled & reject_beat, s['failed'] + 1,
+                               jnp.where(sampled & is_beat[word] & ~reject, 0,
                                          s['failed']))
             stuck = failed >= 256
 
-            accept = act & ~reject
+            accept = sampled & ~reject
+            fed = s['fed'] + (act & in_primer).astype(jnp.int32)
             idx = jnp.minimum(s['out_len'], max_events + 7)
-            new_out = s['out'].at[jnp.arange(batch), idx].set(word)
-            out = jnp.where(accept[:, None], new_out, s['out'])
+            # one-hot where-update instead of a scatter: a batched scatter
+            # in this while_loop body sends the axon AOT compile helper
+            # into a pathological path at B>=8 (bisected 2026-08: scan and
+            # the Performer loop tolerate the same scatter; here the
+            # compile either times out or SIGABRTs).  The masked select
+            # costs O(B * max_events) VPU work per step — negligible next
+            # to the 12-layer forward.
+            pos = jnp.arange(s['out'].shape[1])
+            hit = (pos[None, :] == idx[:, None]) & accept[:, None]
+            out = jnp.where(hit, word[:, None], s['out'])
             out_len = s['out_len'] + accept.astype(jnp.int32)
             bars = s['bars'] + (accept & is_bar[word]).astype(jnp.int32)
             cur_pos = jnp.where(accept & is_bar[word], 0,
                                 jnp.where(accept & is_beat[word],
                                           beat_pos[word], s['cur_pos']))
-            last = jnp.where(accept, word, s['last'])
+            last = jnp.where(accept | (act & in_primer), word, s['last'])
 
             done = accept & (is_eos[word] | (out_len > max_events))
             overflow = t >= max_klen - 1
@@ -109,9 +147,10 @@ def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
                                          jnp.where(act & overflow,
                                                    STATUS_OVERFLOW,
                                                    s['status'])))
-            return dict(cache=cache, t=t, last=last, out=out, out_len=out_len,
-                        bars=bars, cur_pos=cur_pos, failed=failed,
-                        iters=s['iters'] + 1, status=status, rng=rng)
+            return dict(cache=cache, t=t, last=last, fed=fed, out=out,
+                        out_len=out_len, bars=bars, cur_pos=cur_pos,
+                        failed=failed, iters=s['iters'] + 1, status=status,
+                        rng=rng)
 
         s = jax.lax.while_loop(cond, body, state)
         return s['out'], s['out_len'], s['status'], s['bars']
@@ -120,7 +159,8 @@ def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
 
 
 class Stage1BatchGenerator:
-    """Generate a batch of songs (one emotion token each) in one device call."""
+    """Generate a batch of songs in one device call (emotion-token primers
+    or full prompt-continuation primers)."""
 
     def __init__(self, model: PlainTransformer, params, vocab: Vocab, *,
                  batch: int = 8, temp: float = 1.2, top_p: float = 0.97,
@@ -139,18 +179,47 @@ class Stage1BatchGenerator:
             batch=batch)
 
     def generate(self, emotions: List[str], seed: int = 0,
-                 target_bars: Optional[int] = None,
+                 target_bars=None,
+                 primers: Optional[List[List[str]]] = None,
+                 prompt_bars: Optional[List[int]] = None,
                  ) -> Tuple[List[Optional[List[str]]], dict]:
+        """``primers``: optional per-element event lists for prompt
+        continuation (each should start with its Emotion token; reference
+        ``generate_plain_xl`` primer + prompt_bars mode).  Without them each
+        element's primer is just its emotion token.  Primer lengths are
+        padded to the batch max (bucketed to 64 to bound recompiles)."""
         assert len(emotions) == self.batch
-        primer = jnp.asarray(
-            [self.vocab.event2idx['Emotion_{}'.format(e)] for e in emotions],
-            dtype=jnp.int32)
+        if primers is None:
+            prim_rows = [[self.vocab.event2idx['Emotion_{}'.format(e)]]
+                         for e in emotions]
+            pb = np.zeros(self.batch, np.int32)
+        else:
+            assert len(primers) == self.batch
+            prim_rows = [self.vocab.encode(p) for p in primers]
+            pb = np.asarray(prompt_bars if prompt_bars is not None
+                            else [sum(1 for e in p if e == 'Bar_None')
+                                  for p in primers], np.int32)
+        longest = max(len(p) for p in prim_rows)
+        P = 1 if longest == 1 else -(-longest // 64) * 64
+        prim = np.zeros((self.batch, P), np.int32)
+        plen = np.zeros(self.batch, np.int32)
+        for b, row in enumerate(prim_rows):
+            prim[b, :len(row)] = row
+            # short rows re-feed their final token (reject-equivalent)
+            prim[b, len(row):] = row[-1]
+            plen[b] = len(row)
         want = jnp.asarray([emotion_wants_major(e) for e in emotions])
-        tb = jnp.full((self.batch,), target_bars or self.max_bars, jnp.int32)
+        if isinstance(target_bars, (list, tuple, np.ndarray)):
+            tb = jnp.asarray(np.minimum(np.asarray(target_bars, np.int32),
+                                        self.max_bars))
+        else:
+            tb = jnp.full((self.batch,), target_bars or self.max_bars,
+                          jnp.int32)
 
         t0 = time.time()
-        out, out_len, status, bars = self._song(self.params, primer, tb,
-                                                want, jax.random.PRNGKey(seed))
+        out, out_len, status, bars = self._song(
+            self.params, jnp.asarray(prim), jnp.asarray(plen),
+            jnp.asarray(pb), tb, want, jax.random.PRNGKey(seed))
         out = np.asarray(out)
         out_len = np.asarray(out_len)
         status = np.asarray(status)

@@ -107,12 +107,14 @@ class TXLSelfAttention(nn.Module):
         return self.layer_norm(x + out)
 
     def decode_step(self, x, t, layer_idx, k_all, v_all, r_heads,
-                    r_w_bias, r_r_bias):
+                    r_w_bias, r_r_bias, full_attention: bool = False):
         """Single-token step.  x [B,1,D]; t scalar write index;
         k_all/v_all [n_layer,B,Kmax,H,Dh] (updated IN PLACE at
         [layer_idx,:,t] so the whole-cache buffer aliases through scan
         carries instead of being re-stacked and copied every step);
         r_heads [Kmax,H,Dh] where r_heads[d] = r_net(PE(d)).
+        ``full_attention`` swaps the chunked flash decode for a
+        whole-cache einsum (see ``ops.attention.full_decode_attention``).
         Returns (out [B,1,D], k_all, v_all).
         """
         B = x.shape[0]
@@ -131,8 +133,10 @@ class TXLSelfAttention(nn.Module):
 
         # flash-style chunked attention over the live prefix only, with the
         # TXL relative-position term folded in per chunk
-        from ..ops.attention import flash_decode_attention
-        out = flash_decode_attention(
+        from ..ops.attention import flash_decode_attention, full_decode_attention
+        attn_fn = full_decode_attention if full_attention \
+            else flash_decode_attention
+        out = attn_fn(
             q + r_w_bias.astype(q.dtype), k_cache, v_cache, t,
             scale=1.0 / (self.d_head ** 0.5),
             rel=(q + r_r_bias.astype(q.dtype), r_heads))
@@ -198,9 +202,10 @@ class TXLLayer(nn.Module):
         return self.ff(x, deterministic=deterministic)
 
     def decode_step(self, x, t, layer_idx, k_all, v_all, r_heads,
-                    r_w_bias, r_r_bias):
+                    r_w_bias, r_r_bias, full_attention: bool = False):
         x, k_all, v_all = self.attn.decode_step(
-            x, t, layer_idx, k_all, v_all, r_heads, r_w_bias, r_r_bias)
+            x, t, layer_idx, k_all, v_all, r_heads, r_w_bias, r_r_bias,
+            full_attention=full_attention)
         x = self.ff(x, deterministic=True)
         return x, k_all, v_all
 
@@ -313,14 +318,15 @@ class PlainTransformer(nn.Module):
         return {'k': k_cache, 'v': v_cache, 'r': r_heads}
 
     def decode_step(self, token: jax.Array, t: jax.Array,
-                    cache: Dict[str, Any]) -> Tuple[jax.Array, Dict[str, Any]]:
+                    cache: Dict[str, Any], full_attention: bool = False,
+                    ) -> Tuple[jax.Array, Dict[str, Any]]:
         """token [B] int32, t scalar position -> (logits [B, V], cache)."""
         h = self.word_emb(token[:, None])
         k_all, v_all = cache['k'], cache['v']
         for idx, layer in enumerate(self.layers):
             h, k_all, v_all = layer.decode_step(
                 h, t, idx, k_all, v_all, cache['r'][idx],
-                self.r_w_bias, self.r_r_bias)
+                self.r_w_bias, self.r_r_bias, full_attention=full_attention)
         logits = self.out_proj(h.astype(jnp.float32))[:, 0]
         return logits, {'k': k_all, 'v': v_all, 'r': cache['r']}
 

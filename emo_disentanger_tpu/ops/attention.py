@@ -82,3 +82,39 @@ def flash_decode_attention(
     n_chunks = t // chunk + 1
     m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
     return (acc / l[..., None]).astype(q.dtype)
+
+
+def full_decode_attention(
+    q: jax.Array,              # [B, H, Dh]
+    k_cache: jax.Array,        # [B, Kmax, H, Dh]
+    v_cache: jax.Array,        # [B, Kmax, H, Dh]
+    t: jax.Array,              # scalar position
+    *,
+    scale: float,
+    rel: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    """Whole-padded-cache masked attention — same function as
+    :func:`flash_decode_attention` without the dynamic-trip ``fori_loop``.
+
+    Exists because the axon AOT compile helper aborts (SIGABRT) or times
+    out compiling a while_loop body that combines the chunked fori_loop
+    decode with carried per-element output-buffer updates at batch >= 8
+    (bisected 2026-08; either piece alone compiles).  Reading the full
+    padded cache each step wastes early-song HBM bandwidth but keeps the
+    loop body a single fused einsum chain the compiler handles at any
+    batch; the batched stage-1 generator uses this path.
+    """
+    B, Kmax, H, Dh = k_cache.shape
+    q32 = q.astype(jnp.float32)
+    s = jnp.einsum('bhd,bjhd->bhj', q32, k_cache.astype(jnp.float32))
+    if rel is not None:
+        rr_q, r_heads = rel
+        # BD[j] = rr_q . r_heads[t - j]; gather the distance rows directly
+        dist = jnp.clip(t - jnp.arange(Kmax), 0, r_heads.shape[0] - 1)
+        rsel = jnp.take(r_heads, dist, axis=0).astype(jnp.float32)
+        s = s + jnp.einsum('bhd,jhd->bhj', rr_q.astype(jnp.float32), rsel)
+    s = s * scale
+    s = jnp.where((jnp.arange(Kmax) > t)[None, None, :], NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum('bhj,bjhd->bhd', p,
+                      v_cache.astype(jnp.float32)).astype(q.dtype)

@@ -109,8 +109,13 @@ def run(config_path: str, representation: str, model_type: str, *,
             print('[warn] torch optimizer state {} not convertible; '
                   'starting Adam fresh'.format(opt_path))
         else:
-            _, opt_state = load_checkpoint(os.path.dirname(opt_path) or opt_path,
-                                           state.params, state.opt_state)
+            # accept either the orbax checkpoint dir itself or a path to a
+            # file inside it (the reference convention is a *_optim.pt FILE
+            # next to the params, hence the dirname fallback)
+            base = opt_path if os.path.isdir(os.path.join(opt_path, 'optim')) \
+                else (os.path.dirname(opt_path) or opt_path)
+            _, opt_state = load_checkpoint(base, state.params,
+                                           state.opt_state)
             if opt_state is not None:
                 state = state.replace(opt_state=opt_state)
 

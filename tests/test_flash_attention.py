@@ -57,3 +57,46 @@ def test_flash_with_rel_bias_matches_naive(t):
     want = _naive(q, kc, vc, t, 0.35, bias=bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize('t', [0, 5, 12, 25, 31])
+def test_full_decode_matches_flash(t):
+    """full_decode_attention (whole-cache einsum, used by the batched
+    stage-1 generator to dodge the axon B>=8 AOT compile abort) computes
+    the same function as the chunked flash decode, rel term included."""
+    from emo_disentanger_tpu.ops.attention import full_decode_attention
+    key = jax.random.PRNGKey(2)
+    B, K, H, D = 3, 32, 2, 8
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    q = jax.random.normal(k1, (B, H, D))
+    rr_q = jax.random.normal(k4, (B, H, D))
+    kc = jax.random.normal(k2, (B, K, H, D))
+    vc = jax.random.normal(k3, (B, K, H, D))
+    r_heads = jax.random.normal(key, (K, H, D))
+
+    flash = flash_decode_attention(q, kc, vc, jnp.int32(t), scale=0.35,
+                                   chunk=8, rel=(rr_q, r_heads))
+    full = full_decode_attention(q, kc, vc, jnp.int32(t), scale=0.35,
+                                 rel=(rr_q, r_heads))
+    np.testing.assert_allclose(np.asarray(full), np.asarray(flash),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_txl_decode_step_full_attention_matches():
+    """PlainTransformer.decode_step(full_attention=True) == default path."""
+    from emo_disentanger_tpu.models import PlainTransformer
+    model = PlainTransformer(vocab_size=40, n_layer=2, n_head=2, d_model=32,
+                             d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    B, K = 2, 24
+    ca = model.apply(params, B, K, method=PlainTransformer.init_decode_cache)
+    cb = model.apply(params, B, K, method=PlainTransformer.init_decode_cache)
+    toks = (jnp.arange(2 * 10).reshape(10, 2) * 7) % 39
+    for t in range(10):
+        la, ca = model.apply(params, toks[t], jnp.int32(t), ca,
+                             method=PlainTransformer.decode_step)
+        lb, cb = model.apply(params, toks[t], jnp.int32(t), cb,
+                             full_attention=True,
+                             method=PlainTransformer.decode_step)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=2e-4)

@@ -42,3 +42,33 @@ def test_batched_generation_rules_and_determinism():
                 assert pos >= cur
                 cur = pos
         assert 'PAD_None' not in song
+
+
+def test_batched_stage1_prompt_mode():
+    """Prompt continuation in the batched loop: each element's stream must
+    begin with its primer verbatim, bars count from prompt_bars, and
+    unequal primer lengths coexist in one batch (short primers re-feed
+    their last token, the reject-equivalent cache semantics)."""
+    vocab = tiny_vocab2()
+    model = PlainTransformer(vocab_size=vocab.size, n_layer=2, n_head=2,
+                             d_model=32, d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    gen = Stage1BatchGenerator(model, params, vocab, batch=2, temp=1.2,
+                               top_p=0.97, max_events=64, max_bars=8,
+                               functional=True, reject_slack=128)
+    p1 = ['Emotion_Q1', 'Key_C', 'Bar_None', 'Beat_0', 'Chord_I_M',
+          'Note_Octave_5', 'Note_Degree_I', 'Note_Duration_480']
+    p2 = ['Emotion_Q2', 'Key_c', 'Bar_None', 'Beat_0', 'Chord_I_M']
+    songs, stats = gen.generate(['Q1', 'Q2'],
+                                primers=[p1, p2], target_bars=[3, 3], seed=4)
+    for primer, song in zip([p1, p2], songs):
+        if song is None:
+            continue
+        # the emitted stream starts with the primer verbatim (final-token
+        # drop can only shorten the sampled tail, not the primer)
+        assert song[:len(primer)] == primer, song[:len(primer) + 2]
+    assert stats['bars'][0] >= 1 and stats['bars'][1] >= 1
+
+    songs2, _ = gen.generate(['Q1', 'Q2'],
+                             primers=[p1, p2], target_bars=[3, 3], seed=4)
+    assert songs == songs2
