@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), 'tests'))
 S1_EVENTS = 512
 S2_EVENTS = 3000
 S2_BARS = 16
-S1_BATCH = 4
+S1_BATCH = 8     # full-attention decode path compiles at B>=8 (round 2 fix)
 S2_BATCH = 16
 N_FILES = 8      # stage-1 pieces; each renders 2 quadrants => 16 songs
 
@@ -100,6 +100,10 @@ def stage2_render(gen2, vocab, files, out_dir, seed):
     jobs = []
     for path in files:
         key, lead_bars = read_generated_events(path, vocab.event2idx)
+        # random-weight stage-1 bars can be arbitrarily long; clip to the
+        # generator's bar budget (production lead-sheet bars are ~6-30
+        # tokens, so this only fires on degenerate synthetic streams)
+        lead_bars = [bar[:250] for bar in lead_bars]
         # repeat bars up to the production bar count so stage-2 songs run to
         # their full ~3000-event profile
         bars = (lead_bars * ((S2_BARS // max(len(lead_bars), 1)) + 1))[:S2_BARS]
@@ -142,7 +146,7 @@ def main():
                                     max_events=S1_EVENTS, max_bars=128)
         gen2 = Stage2BatchGenerator(s2, p2, vocab, batch=S2_BATCH, temp=1.1,
                                     top_p=0.99, max_events=S2_EVENTS,
-                                    max_bar_tokens=64, max_bars=S2_BARS,
+                                    max_bar_tokens=256, max_bars=S2_BARS,
                                     omegas=omegas)
 
         # warmup: compile both loops at the production shapes
@@ -161,9 +165,10 @@ def main():
         mids = [f for f in os.listdir(out_dir) if f.endswith('_full.mid')]
         print(json.dumps({
             'metric': 'two-stage songs/min MEASURED end-to-end (stage-1 '
-                      'B=4 TXL 512ev -> roman.txt -> stage-2 B=16 Performer '
-                      f'~{S2_EVENTS}ev -> .mid, bf16, random weights, '
-                      'compile excluded via warmup)',
+                      f'B={S1_BATCH} TXL {S1_EVENTS}ev -> roman.txt -> '
+                      f'stage-2 B={S2_BATCH} Performer ~{S2_EVENTS}ev -> '
+                      '.mid, bf16, random weights, compile excluded via '
+                      'warmup)',
             'value': round(60.0 * n_songs / secs, 2),
             'unit': 'songs/min/chip',
             'detail': {
