@@ -198,6 +198,39 @@ def bench_sampled_generation(batch=16, max_events=1500):
     return sum(stats['events']) / dt
 
 
+def bench_stage1_sampled_generation(batch=16, max_events=384):
+    """Stage-1 serving loop: Stage1BatchGenerator (nucleus sampling, key
+    rule, beat rejection on device) at the B>=8 batch the full-attention
+    decode path unblocked."""
+    from emo_disentanger_tpu.core.vocab import Vocab
+    from emo_disentanger_tpu.models import PlainTransformer
+    from emo_disentanger_tpu.infer.stage1_batch import Stage1BatchGenerator
+    from emo_disentanger_tpu.utils.precision import cast_params
+
+    events = ['Emotion_Q1', 'Emotion_Q2', 'Emotion_Q3', 'Emotion_Q4',
+              'Key_C', 'Key_c', 'Bar_None', 'EOS_None',
+              'Chord_I_M', 'Chord_V_7', 'Chord_None_None']
+    events += [f'Beat_{b}' for b in range(16)]
+    events += [f'Filler_{i}' for i in range(VOCAB - len(events) - 1)]
+    events = sorted(set(events))
+    vocab = Vocab({e: i for i, e in enumerate(events)},
+                  {i: e for i, e in enumerate(events)})
+    model = PlainTransformer(vocab_size=vocab.size, n_layer=12, n_head=8,
+                             d_model=512, d_ff=2048, d_embed=512,
+                             dtype=jnp.bfloat16)
+    params = cast_params(model.init(jax.random.PRNGKey(0),
+                                    jnp.ones((1, 8), jnp.int32)))
+    gen = Stage1BatchGenerator(model, params, vocab, batch=batch,
+                               max_events=max_events, max_bars=64,
+                               functional=True)
+    emos = (['Q1', 'Q2', 'Q3', 'Q4'] * ((batch + 3) // 4))[:batch]
+    gen.generate(emos, seed=1)                           # compile
+    t0 = time.perf_counter()
+    _, stats = gen.generate(emos, seed=2)
+    dt = time.perf_counter() - t0
+    return sum(stats['events']) / dt
+
+
 def main():
     results = {}
     for name, fn in [('stage1_txl', bench_txl),
@@ -224,6 +257,13 @@ def main():
     print(json.dumps({'metric': 'stage2 Performer batched generation '
                                 '(B=16 bf16, nucleus sampling + rules on '
                                 'device, teacher-forced bars)',
+                      'value': round(tps, 1),
+                      'unit': 'tokens/sec/chip'}))
+
+    tps = bench_stage1_sampled_generation()
+    print(json.dumps({'metric': 'stage1 TXL batched generation (B=16 bf16, '
+                                'nucleus sampling + key/beat rules on '
+                                'device, full-attention decode)',
                       'value': round(tps, 1),
                       'unit': 'tokens/sec/chip'}))
 

@@ -84,11 +84,39 @@ class PerformerLayer(nn.Module):
         return self.norm2(x + y)
 
     def decode_step(self, x, omega, layer_idx, S_all, z_all,
-                    update_mask=None):
+                    update_mask=None, fused: Optional[bool] = None):
         """x [B, 1, D]; carried state S_all [n_layer,B,H,M,Dh] /
         z_all [n_layer,B,H,M], updated in place at layer_idx.
-        ``update_mask`` [B] freezes masked elements' state."""
+        ``update_mask`` [B] freezes masked elements' state.
+        ``fused=None`` auto-selects the whole-layer Pallas kernel on TPU
+        (:mod:`..ops.performer_decode`); False keeps the composed path."""
         B = x.shape[0]
+        if fused is None:
+            fused = jax.default_backend() == 'tpu'
+        if fused:
+            from ..ops.performer_decode import fused_decode_layer
+            pv = lambda m: m.variables['params']
+            ln = lambda m: pv(m)['LayerNorm_0']
+            p = {
+                'wq': pv(self.q_proj)['kernel'], 'bq': pv(self.q_proj)['bias'],
+                'wk': pv(self.k_proj)['kernel'], 'bk': pv(self.k_proj)['bias'],
+                'wv': pv(self.v_proj)['kernel'], 'bv': pv(self.v_proj)['bias'],
+                'wo': pv(self.out_proj)['kernel'],
+                'bo': pv(self.out_proj)['bias'],
+                'w1': pv(self.linear1)['kernel'], 'b1': pv(self.linear1)['bias'],
+                'w2': pv(self.linear2)['kernel'], 'b2': pv(self.linear2)['bias'],
+                'g1': ln(self.norm1)['scale'], 'be1': ln(self.norm1)['bias'],
+                'g2': ln(self.norm2)['scale'], 'be2': ln(self.norm2)['bias'],
+            }
+            out, S, z = fused_decode_layer(
+                x[:, 0, :], S_all[layer_idx], z_all[layer_idx], p, omega,
+                update_mask, n_head=self.n_head,
+                interpret=jax.default_backend() != 'tpu')
+            S_all = jax.lax.dynamic_update_slice(
+                S_all, S[None], (layer_idx, 0, 0, 0, 0))
+            z_all = jax.lax.dynamic_update_slice(
+                z_all, z[None], (layer_idx, 0, 0, 0))
+            return out[:, None, :], S_all, z_all
         q = self.q_proj(x).reshape(B, self.n_head, self.d_head)
         k = self.k_proj(x).reshape(B, self.n_head, self.d_head)
         v = self.v_proj(x).reshape(B, self.n_head, self.d_head)

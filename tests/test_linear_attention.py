@@ -179,3 +179,45 @@ def test_fused_omega_gradient_is_zero(rng_key):
     omega = draw_orthogonal_features(jax.random.PRNGKey(5), 8, 16)
     g = jax.grad(lambda o: jnp.sum(favor_causal_attention(q, k, v, o, 16)))(omega)
     np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_fused_decode_layer_matches_composed(rng_key):
+    """The whole-layer fused decode kernel (interpret mode on CPU) must
+    reproduce the composed decode_step (projections + favor_features +
+    linear_attention_decode_step + norms + FF) over a multi-step roll,
+    including the update_mask state freeze."""
+    import numpy as np
+    from emo_disentanger_tpu.models.performer import MusicPerformer
+
+    model = MusicPerformer(n_token=48, n_layer=2, n_head=2, d_model=32,
+                           d_ff=64, d_embed=32, dropout=0.0, favor_dims=16)
+    omegas = model.draw_omegas(jax.random.PRNGKey(3))
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        omegas, jnp.zeros((1, 8), jnp.int32))
+    B = 4
+    sa = model.apply(params, B, method=MusicPerformer.init_decode_state)
+    sb = model.apply(params, B, method=MusicPerformer.init_decode_state)
+    rng = np.random.RandomState(0)
+
+    def roll(mdl, x, state, mask, fused):
+        S_all, z_all = state['S'], state['z']
+        h = x
+        for i, layer in enumerate(mdl.layers):
+            h, S_all, z_all = layer.decode_step(
+                h, omegas[i], i, S_all, z_all, update_mask=mask, fused=fused)
+        return h, {'S': S_all, 'z': z_all}
+
+    def step_layer(x, state, mask, fused):
+        return model.apply(params, x, state, mask, fused, method=roll)
+
+    for t in range(5):
+        x = jnp.asarray(rng.randn(B, 1, 32).astype('f4'))
+        mask = jnp.asarray((rng.random(B) > 0.3))
+        ha, sa = step_layer(x, sa, mask, fused=False)
+        hb, sb = step_layer(x, sb, mask, fused=True)
+        np.testing.assert_allclose(np.asarray(ha), np.asarray(hb),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(sa['S']), np.asarray(sb['S']),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(sa['z']), np.asarray(sb['z']),
+                                   rtol=2e-4, atol=2e-5)
