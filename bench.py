@@ -10,11 +10,20 @@ per generated token (``stage2_accompaniment/inference.py:250-257``) — run at
 the SAME batch size and precision on the SAME chip, so the ratio isolates the
 algorithmic speedup of carrying state instead of re-encoding the window.
 
+Robustness contract (round 3): every sub-benchmark runs in a FRESH
+subprocess.  A crashed remote-compile subprocess can leave the parent JAX
+client in a transient ``FAILED_PRECONDITION`` state that only a new process
+recovers from (see CLAUDE.md), so the B=16 primary is retried once in another
+fresh process before any fallback, and any failure's stderr tail is embedded
+in the output JSON under ``error`` — degraded runs are self-explaining.
+
 The ``extra`` object carries the other driver-verified headline metrics:
   * stage-2 Performer train step (fwd+bwd+Adam, B=16, L=3072, bf16 compute /
     f32 master weights + Adam) in tokens/sec and MFU vs the v5e bf16 peak;
   * stage-1 TXL decode (KV-cache flash-decode, B=16, bf16);
-  * stage-2 GPT-2 decode (KV cache, B=16, bf16).
+  * stage-2 GPT-2 decode (KV cache, B=16, bf16);
+  * stage-2 batched sampled generation (the real serving loop: nucleus
+    sampling + rejection rules + teacher-forced bars on device, B=16).
 
 Prints ONE JSON line:
   {"metric": ..., "value": tokens/sec/chip, "unit": ..., "vs_baseline": x,
@@ -22,10 +31,10 @@ Prints ONE JSON line:
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 VOCAB = 360
 DECODE_STEPS = 512
@@ -33,9 +42,16 @@ WINDOW = 2048
 BATCH = 16
 
 
-def build_model(dtype=jnp.bfloat16):
+# --------------------------------------------------------------------------
+# sub-benchmarks (each runs in its own process via `python bench.py --sub X`)
+# --------------------------------------------------------------------------
+
+def build_model(dtype=None):
+    import jax
+    import jax.numpy as jnp
     from emo_disentanger_tpu.models import MusicPerformer
     from emo_disentanger_tpu.utils.precision import cast_params
+    dtype = dtype or jnp.bfloat16
     model = MusicPerformer(n_token=VOCAB, n_layer=12, n_head=8, d_model=512,
                            d_ff=2048, d_embed=512, dropout=0.1, favor_dims=128,
                            use_segment_emb=True, n_segment_types=2, dtype=dtype)
@@ -51,6 +67,8 @@ def build_model(dtype=jnp.bfloat16):
 def bench_state_decode(model, params, omegas, batch=BATCH,
                        n_steps=DECODE_STEPS):
     """Our decode: greedy scan over decode_step with carried (S, z)."""
+    import jax
+    import jax.numpy as jnp
     from emo_disentanger_tpu.models.performer import MusicPerformer
 
     def run(tok0):
@@ -86,6 +104,9 @@ def bench_reference_style(model, params, omegas, batch=BATCH,
                           ctx_len=WINDOW, n_tokens=6):
     """Reference decode cost: one full forward of the context window per
     token, keep_last_only (no cache), same batch and precision."""
+    import jax
+    import jax.numpy as jnp
+
     def one_token(tokens):
         return model.apply(params, tokens, omegas,
                            jnp.zeros_like(tokens), keep_last_only=True)
@@ -100,61 +121,148 @@ def bench_reference_style(model, params, omegas, batch=BATCH,
     return batch / dt
 
 
-def extra_metrics():
-    """Secondary driver-verified metrics; failures degrade to partial data
-    rather than breaking the primary contract."""
+def sub_primary(batch, n_steps, ctx_len, n_ref_tokens):
+    model, params, omegas = build_model()
+    ours = bench_state_decode(model, params, omegas, batch=batch,
+                              n_steps=n_steps)
+    ref = bench_reference_style(model, params, omegas, batch=batch,
+                                ctx_len=ctx_len, n_tokens=n_ref_tokens)
+    return {'ours': ours, 'ref': ref}
+
+
+def sub_train():
+    import jax.numpy as jnp
     import bench_extra
-    extra = {}
+    tps, mfu = bench_extra.bench_train_step(batch=16, seqlen=3072,
+                                            dtype=jnp.bfloat16)
+    return {'tps': tps, 'mfu': mfu}
+
+
+SUBS = {
+    'primary_b16': lambda: sub_primary(BATCH, DECODE_STEPS, WINDOW, 6),
+    'primary_b4': lambda: sub_primary(4, 256, 1024, 4),
+    'train': sub_train,
+    'txl': lambda: {'tps': __import__('bench_extra').bench_txl(16)},
+    'gpt2': lambda: {'tps': __import__('bench_extra').bench_gpt2(16)},
+    'sampled_gen': lambda: {
+        'tps': __import__('bench_extra').bench_sampled_generation()},
+    'fused_check': lambda: dict(zip(
+        ('max_abs_logit_err', 'argmax_agreement'),
+        __import__('bench_extra').check_fused_decode())),
+}
+
+
+# --------------------------------------------------------------------------
+# orchestrator
+# --------------------------------------------------------------------------
+
+def run_sub(name, timeout=1500):
+    """Run one sub-benchmark in a fresh python process.
+
+    Returns (result_dict_or_None, error_string_or_None)."""
+    cmd = [sys.executable, os.path.abspath(__file__), '--sub', name]
     try:
-        tps, mfu = bench_extra.bench_train_step(batch=16, seqlen=3072,
-                                                dtype=jnp.bfloat16)
-        extra['train_step_B16_L3072_bf16_tokens_per_sec'] = round(tps, 1)
-        extra['train_step_B16_L3072_bf16_mfu'] = round(mfu, 4)
-    except Exception as e:                            # pragma: no cover
-        extra['train_step_error'] = str(e)[:200]
-    try:
-        extra['stage1_txl_decode_B16_tokens_per_sec'] = round(
-            bench_extra.bench_txl(16), 1)
-    except Exception as e:                            # pragma: no cover
-        extra['stage1_txl_error'] = str(e)[:200]
-    try:
-        extra['stage2_gpt2_decode_B16_tokens_per_sec'] = round(
-            bench_extra.bench_gpt2(16), 1)
-    except Exception as e:                            # pragma: no cover
-        extra['stage2_gpt2_error'] = str(e)[:200]
-    return extra
+        proc = subprocess.run(cmd, capture_output=True, text=True,
+                              timeout=timeout,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return None, f'{name}: timeout after {timeout}s'
+    # the result is the last stdout line that parses as JSON (jax warnings
+    # may precede it)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            obj = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if isinstance(obj, dict) and obj.get('__sub__') == name:
+            return obj['result'], None
+    tail = (proc.stderr or proc.stdout or '').strip().splitlines()[-8:]
+    return None, f'{name}: rc={proc.returncode}; ' + ' | '.join(tail)[-500:]
 
 
 def main():
-    model, params, omegas = build_model()
-    try:
-        ours = bench_state_decode(model, params, omegas)
-        ref = bench_reference_style(model, params, omegas)
+    errors = {}
+
+    # primary: B=16, retried once in a fresh process (transient
+    # FAILED_PRECONDITION after a crashed compile recovers in a new process)
+    primary, err = run_sub('primary_b16')
+    if primary is None:
+        errors['primary_b16_try1'] = err
+        primary, err = run_sub('primary_b16')
+        if primary is None:
+            errors['primary_b16_try2'] = err
+
+    if primary is not None:
         result = {
             'metric': 'stage2 Performer decode throughput '
                       '(12L/512d, bf16, greedy, B=16, vs window re-forward at '
                       'equal batch/precision)',
-            'value': round(ours, 2),
+            'value': round(primary['ours'], 2),
             'unit': 'tokens/sec/chip',
-            'vs_baseline': round(ours / ref, 2),
+            'vs_baseline': round(primary['ours'] / primary['ref'], 2),
         }
-    except Exception:
-        # fallback: smaller shapes so a compile hiccup through the remote
-        # relay still yields the one-line JSON contract
-        ours = bench_state_decode(model, params, omegas, batch=4, n_steps=256)
-        ref = bench_reference_style(model, params, omegas, batch=4,
-                                    ctx_len=1024, n_tokens=4)
-        result = {
-            'metric': 'stage2 Performer decode throughput '
-                      '(12L/512d, bf16, greedy, B=4 fallback, vs window '
-                      're-forward at equal batch/precision)',
-            'value': round(ours, 2),
-            'unit': 'tokens/sec/chip',
-            'vs_baseline': round(ours / ref, 2),
-        }
-    result['extra'] = extra_metrics()
+    else:
+        fallback, err = run_sub('primary_b4')
+        if fallback is None:
+            errors['primary_b4'] = err
+            result = {
+                'metric': 'stage2 Performer decode throughput (FAILED)',
+                'value': 0.0,
+                'unit': 'tokens/sec/chip',
+                'vs_baseline': 0.0,
+            }
+        else:
+            result = {
+                'metric': 'stage2 Performer decode throughput '
+                          '(12L/512d, bf16, greedy, B=4 fallback, vs window '
+                          're-forward at equal batch/precision)',
+                'value': round(fallback['ours'], 2),
+                'unit': 'tokens/sec/chip',
+                'vs_baseline': round(fallback['ours'] / fallback['ref'], 2),
+            }
+
+    extra = {}
+    sub, err = run_sub('train')
+    if sub is not None:
+        extra['train_step_B16_L3072_bf16_tokens_per_sec'] = round(sub['tps'], 1)
+        extra['train_step_B16_L3072_bf16_mfu'] = round(sub['mfu'], 4)
+    else:
+        errors['train'] = err
+    sub, err = run_sub('txl')
+    if sub is not None:
+        extra['stage1_txl_decode_B16_tokens_per_sec'] = round(sub['tps'], 1)
+    else:
+        errors['txl'] = err
+    sub, err = run_sub('gpt2')
+    if sub is not None:
+        extra['stage2_gpt2_decode_B16_tokens_per_sec'] = round(sub['tps'], 1)
+    else:
+        errors['gpt2'] = err
+    sub, err = run_sub('sampled_gen')
+    if sub is not None:
+        extra['stage2_sampled_generation_B16_tokens_per_sec'] = \
+            round(sub['tps'], 1)
+    else:
+        errors['sampled_gen'] = err
+    sub, err = run_sub('fused_check')
+    if sub is not None:
+        extra['fused_decode_max_abs_logit_err'] = \
+            round(sub['max_abs_logit_err'], 5)
+        extra['fused_decode_argmax_agreement'] = \
+            round(sub['argmax_agreement'], 4)
+    else:
+        errors['fused_check'] = err
+
+    result['extra'] = extra
+    if errors:
+        result['error'] = errors
     print(json.dumps(result))
 
 
 if __name__ == '__main__':
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == '--sub':
+        name = sys.argv[2]
+        out = SUBS[name]()
+        print(json.dumps({'__sub__': name, 'result': out}))
+    else:
+        main()

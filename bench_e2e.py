@@ -8,8 +8,9 @@ Configuration (stated in the metric): production-shape models (stage-1 12L
 TXL, stage-2 12L Performer, 512d, bf16 weights), the synthetic-corpus
 4-quadrant functional vocabulary (~340 events — the full synthetic vocab,
 near production size), random weights (the pipeline work is identical; only
-the sampled token mix differs from trained weights), stage-1 batched at B=4
-(axon AOT compile cap), stage-2 batched at B=16.  Song profile mirrors
+the sampled token mix differs from trained weights), stage-1 batched at B=8
+(the full-attention decode path; the round-1 AOT compile cap was lifted by
+``full_decode_attention``), stage-2 batched at B=16.  Song profile mirrors
 production: stage-1 runs to its 512-event budget; each lead sheet renders
 two arousal quadrants; stage-2 songs run to ~3000 events (teacher-forced
 bars re-injected on repeat up to 16 bars).  Compile time is excluded via one

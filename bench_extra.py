@@ -107,6 +107,68 @@ def bench_txl(batch, cache_len=1536):
     return batch * _time_scan(jax.jit(run), jnp.ones((batch,), jnp.int32), STEPS)
 
 
+def check_fused_decode(batch=8, steps=48):
+    """On-chip fused-vs-composed Performer decode equivalence spot check.
+
+    The fused whole-layer Pallas decode kernel auto-enables on TPU but its
+    equivalence test runs in interpret mode on CPU only; this feeds the SAME
+    teacher-forced token stream through both paths on the real backend and
+    returns the max abs logit difference (a Mosaic miscompile at serving
+    shapes would show up here, in the driver artifact)."""
+    import os
+    from emo_disentanger_tpu.models import MusicPerformer
+    from emo_disentanger_tpu.utils.precision import cast_params
+
+    model = MusicPerformer(n_token=VOCAB, n_layer=12, n_head=8, d_model=512,
+                           d_ff=2048, d_embed=512, favor_dims=128,
+                           dtype=jnp.bfloat16)
+    omegas = model.draw_omegas(jax.random.PRNGKey(1))
+    params = cast_params(model.init(jax.random.PRNGKey(0),
+                                    jnp.ones((1, 8), jnp.int32), omegas,
+                                    jnp.zeros((1, 8), jnp.int32)))
+    toks = jax.random.randint(jax.random.PRNGKey(3), (steps, batch), 0, VOCAB)
+    toks = toks.astype(jnp.int32)
+
+    def make_run():
+        # EMODIS_FUSED_DECODE is read at trace time inside decode_step, so
+        # each jit below bakes in the path selected by the env var
+        def run(toks):
+            state = model.apply(params, batch,
+                                method=type(model).init_decode_state)
+
+            def step(carry, xs):
+                state, = carry
+                t, tok = xs
+                logits, state = model.apply(
+                    params, tok, jnp.zeros_like(tok), t, omegas, state,
+                    method=type(model).decode_step)
+                return (state,), logits
+
+            _, logits = jax.lax.scan(
+                step, (state,),
+                (jnp.arange(steps, dtype=jnp.int32), toks))
+            return logits
+
+        return jax.jit(run)
+
+    prev = os.environ.get('EMODIS_FUSED_DECODE')
+    try:
+        os.environ['EMODIS_FUSED_DECODE'] = '1'
+        fused = make_run()(toks)
+        _force(fused)
+        os.environ['EMODIS_FUSED_DECODE'] = '0'
+        composed = make_run()(toks)
+        _force(composed)
+    finally:
+        if prev is None:
+            os.environ.pop('EMODIS_FUSED_DECODE', None)
+        else:
+            os.environ['EMODIS_FUSED_DECODE'] = prev
+    err = float(jnp.max(jnp.abs(fused - composed)))
+    agree = float(jnp.mean(jnp.argmax(fused, -1) == jnp.argmax(composed, -1)))
+    return err, agree
+
+
 def bench_train_step(batch=4, seqlen=3072, dtype=jnp.float32):
     """Stage-2 Performer training step (fwd+bwd+Adam) at production shapes,
     Pallas linear-attention kernel on the hot path.

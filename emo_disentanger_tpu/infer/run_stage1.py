@@ -91,13 +91,18 @@ def run(config_path: str, representation: str, mode: str, *,
             padded = group_jobs + [group_jobs[0]] * (batch_size - len(group_jobs))
             kwargs = {}
             if prompts is not None:
-                primers, targets = [], []
+                primers, targets, pbars = [], [], []
                 for group, emotion, _ in padded:
                     prompt_evs, n_bars = prompts[group]
                     primers.append(['Emotion_{}'.format(emotion)]
                                    + prompt_evs[1:])
                     targets.append(n_bars)
-                kwargs = dict(primers=primers, target_bars=targets)
+                    # reference convention: generated_bars starts at
+                    # prompt_n_bars = (Bar_None count in primer) - 1
+                    pbars.append(max(0, sum(1 for e in prompt_evs
+                                            if e == 'Bar_None') - 1))
+                kwargs = dict(primers=primers, target_bars=targets,
+                              prompt_bars=pbars)
             songs, stats = bgen.generate([j[1] for j in padded],
                                          seed=seed + g0, **kwargs)
             for i, (group, emotion, out_name) in enumerate(group_jobs):
@@ -111,12 +116,16 @@ def run(config_path: str, representation: str, mode: str, *,
         for group, emotion, out_name in jobs:
             primer = None
             target_bars = None
+            pbar = None
             if prompts is not None:
                 prompt_evs, target_bars = prompts[group]
                 primer = ['Emotion_{}'.format(emotion)] + prompt_evs[1:]
+                pbar = max(0, sum(1 for e in prompt_evs
+                                  if e == 'Bar_None') - 1)
             events, stats = generator.generate(
                 emotion, seed=seed + group * 131 + sum(map(ord, emotion)) % 1000,
-                primer_events=primer, target_bars=target_bars)
+                primer_events=primer, target_bars=target_bars,
+                prompt_bars=pbar)
             results[out_name] = (events, stats['seconds'])
 
     gen_times = []

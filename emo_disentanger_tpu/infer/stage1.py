@@ -53,7 +53,8 @@ def _make_song_loop(model: PlainTransformer, tables: RuleTables, *,
     key_major = jnp.asarray(tables.key_major)
 
     def song(params, primer: jax.Array, primer_len: jax.Array,
-             target_bars: jax.Array, want_major: jax.Array, rng: jax.Array):
+             prompt_bars: jax.Array, target_bars: jax.Array,
+             want_major: jax.Array, rng: jax.Array):
         cache = model.apply(params, 1, max_klen,
                             method=PlainTransformer.init_decode_cache)
 
@@ -74,7 +75,10 @@ def _make_song_loop(model: PlainTransformer, tables: RuleTables, *,
             last=primer[primer_len - 1],
             out=out,
             out_len=primer_len,
-            bars=jnp.int32(0),
+            # reference inference_utils.py:57-60: generated_bars starts at
+            # prompt_bars (= number of Bar_None in the primer MINUS one,
+            # per get_leadsheet_prompt's assert) — not zero
+            bars=prompt_bars.astype(jnp.int32),
             cur_pos=jnp.int32(0),
             failed=jnp.int32(0),
             iters=jnp.int32(0),
@@ -165,10 +169,22 @@ class Stage1Generator:
     def generate(self, emotion: str, seed: int,
                  primer_events: Optional[List[str]] = None,
                  target_bars: Optional[int] = None,
+                 prompt_bars: Optional[int] = None,
                  ) -> Tuple[Optional[List[str]], dict]:
         """Generate one piece; returns (event strings without the dropped
-        last token, stats).  None on a stuck model (reference parity)."""
+        last token, stats).  None on a stuck model (reference parity).
+
+        ``prompt_bars``: starting value of the bar counter for prompt
+        continuation (reference ``generate_plain_xl``'s ``prompt_bars``,
+        ``inference_utils.py:57-60``).  Defaults to the number of
+        ``Bar_None`` tokens in the primer minus one — the reference
+        convention, since ``get_leadsheet_prompt`` slices the prompt at
+        ``bar_pos[prompt_n_bars] + 1`` so the primer carries
+        ``prompt_n_bars + 1`` bar tokens (``inference.py:35-38``)."""
         primer_events = primer_events or ['Emotion_{}'.format(emotion)]
+        if prompt_bars is None:
+            prompt_bars = max(
+                0, sum(1 for e in primer_events if e == 'Bar_None') - 1)
         primer = self.vocab.encode(primer_events)
         plen = len(primer)
         assert plen <= self.max_events, 'primer longer than max_events'
@@ -180,6 +196,7 @@ class Stage1Generator:
         t0 = time.time()
         out, out_len, status, bars = self._song(
             self.params, jnp.asarray(primer_arr), jnp.int32(plen),
+            jnp.int32(prompt_bars),
             jnp.int32(target_bars or self.max_bars),
             jnp.asarray(emotion_wants_major(emotion)),
             jax.random.PRNGKey(seed))

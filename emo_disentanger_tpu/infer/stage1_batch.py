@@ -171,6 +171,7 @@ class Stage1BatchGenerator:
         self.vocab = vocab
         self.batch = batch
         self.max_bars = max_bars
+        self.max_events = max_events
         self.tables = build_rule_tables(vocab)
         self._song = _make_batch_loop(
             model, self.tables, temp=temp, top_p=top_p, key_temp=1.1,
@@ -196,11 +197,21 @@ class Stage1BatchGenerator:
         else:
             assert len(primers) == self.batch
             prim_rows = [self.vocab.encode(p) for p in primers]
+            # default: bar counter starts at (Bar_None count - 1), the
+            # reference convention — get_leadsheet_prompt's primer carries
+            # prompt_n_bars + 1 bar tokens while generate_plain_xl starts
+            # generated_bars at prompt_n_bars (inference.py:35-38,
+            # inference_utils.py:57-60)
             pb = np.asarray(prompt_bars if prompt_bars is not None
-                            else [sum(1 for e in p if e == 'Bar_None')
+                            else [max(0, sum(1 for e in p if e == 'Bar_None')
+                                      - 1)
                                   for p in primers], np.int32)
         longest = max(len(p) for p in prim_rows)
-        P = 1 if longest == 1 else -(-longest // 64) * 64
+        assert longest <= self.max_events, 'primer longer than max_events'
+        # bucket to 64 to bound recompiles, but never wider than the output
+        # buffer (max_events + 8) that the primer is written into
+        P = 1 if longest == 1 else min(-(-longest // 64) * 64,
+                                       self.max_events + 8)
         prim = np.zeros((self.batch, P), np.int32)
         plen = np.zeros(self.batch, np.int32)
         for b, row in enumerate(prim_rows):

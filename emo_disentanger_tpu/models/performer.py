@@ -22,6 +22,7 @@ the reference re-encodes the whole 2048-token window per token
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -89,10 +90,17 @@ class PerformerLayer(nn.Module):
         z_all [n_layer,B,H,M], updated in place at layer_idx.
         ``update_mask`` [B] freezes masked elements' state.
         ``fused=None`` auto-selects the whole-layer Pallas kernel on TPU
-        (:mod:`..ops.performer_decode`); False keeps the composed path."""
+        (:mod:`..ops.performer_decode`); False keeps the composed path.
+        The env var ``EMODIS_FUSED_DECODE`` overrides the auto-select
+        ('0' forces the composed path, '1' forces the kernel) so a
+        suspected Mosaic miscompile can be ruled out without code edits."""
         B = x.shape[0]
         if fused is None:
-            fused = jax.default_backend() == 'tpu'
+            env = os.environ.get('EMODIS_FUSED_DECODE', '')
+            if env in ('0', '1'):
+                fused = env == '1'
+            else:
+                fused = jax.default_backend() == 'tpu'
         if fused:
             from ..ops.performer_decode import fused_decode_layer
             pv = lambda m: m.variables['params']

@@ -103,8 +103,18 @@ def gc_checkpoints(ckpt_dir: str, keep_last: int,
     for _, _, name in entries:
         if name not in protect:
             path = os.path.join(ckpt_dir, name)
-            shutil.rmtree(path, ignore_errors=True)
-            deleted.append(path)
+            # CKPT_RE also matches file-form checkpoints (.pt exports):
+            # rmtree is a no-op on files, so pick the right removal and
+            # only report paths that actually went away
+            try:
+                if os.path.isdir(path):
+                    shutil.rmtree(path)
+                else:
+                    os.remove(path)
+            except OSError:
+                pass
+            if not os.path.exists(path):
+                deleted.append(path)
     return deleted
 
 

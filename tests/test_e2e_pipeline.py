@@ -235,3 +235,11 @@ def test_checkpoint_gc_keep_last(tmp_path):
     assert latest_checkpoint(d).endswith('ep005_loss1.500')
     # idempotent
     assert gc_checkpoints(d, keep_last=2) == []
+
+    # file-form checkpoints (.pt exports) that CKPT_RE also matches must be
+    # really deleted (os.remove path), not silently kept while reported
+    pt = os.path.join(d, 'ep001_loss9.000_params.pt')
+    with open(pt, 'wb') as f:
+        f.write(b'x')
+    deleted = gc_checkpoints(d, keep_last=2)
+    assert deleted == [pt] and not os.path.exists(pt)

@@ -67,8 +67,26 @@ def test_batched_stage1_prompt_mode():
         # the emitted stream starts with the primer verbatim (final-token
         # drop can only shorten the sampled tail, not the primer)
         assert song[:len(primer)] == primer, song[:len(primer) + 2]
-    assert stats['bars'][0] >= 1 and stats['bars'][1] >= 1
+    # reference bar accounting (inference_utils.py:57-60): the counter
+    # starts at prompt_bars = (Bar_None in primer) - 1 = 0 here, so an
+    # element that runs to the bar target must report exactly target bars;
+    # early EOS (status DONE) or stuck may stop short
+    for b in range(2):
+        assert stats['bars'][b] <= 3
+        if stats['status'][b] == 0:        # exited on the bar target
+            assert stats['bars'][b] == 3
 
     songs2, _ = gen.generate(['Q1', 'Q2'],
                              primers=[p1, p2], target_bars=[3, 3], seed=4)
     assert songs == songs2
+
+    # a 2-bar primer starts the counter at 1 (reference convention): the
+    # explicit prompt_bars override and the default must agree
+    p3 = ['Emotion_Q1', 'Key_C', 'Bar_None', 'Beat_0', 'Chord_I_M',
+          'Bar_None', 'Beat_0', 'Chord_I_M']
+    s_def, st_def = gen.generate(['Q1', 'Q1'], primers=[p3, p3],
+                                 target_bars=[3, 3], seed=9)
+    s_exp, st_exp = gen.generate(['Q1', 'Q1'], primers=[p3, p3],
+                                 prompt_bars=[1, 1], target_bars=[3, 3],
+                                 seed=9)
+    assert s_def == s_exp and st_def['bars'] == st_exp['bars']
