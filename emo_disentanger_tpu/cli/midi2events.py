@@ -49,7 +49,9 @@ def run_emopia(representation: str, event_type: str, data_home: str,
             elif emotion in ('Q2', 'Q3'):
                 emotion = 'Negative'
 
-        midi = MidiFile.parse(os.path.join(midi_home, fname))
+        # EMOPIA files are 480 PPQN; real-world inputs at other divisions
+        # are rescaled onto the tokenizer grid first
+        midi = MidiFile.parse(os.path.join(midi_home, fname)).to_resolution(480)
         if event_type == 'lead':
             corpus = quantize_to_corpus(analyze_midi(
                 midi, keyname, melody_only=True, relative_chord=relative_chord,
@@ -62,7 +64,9 @@ def run_emopia(representation: str, event_type: str, data_home: str,
                 midi, keyname, melody_only=True, tempo_conti=True,
                 relative_chord=relative_chord, transpose_to_C=transpose_to_C))
             full = quantize_to_corpus(analyze_midi(
-                MidiFile.parse(os.path.join(midi_home, fname)), keyname,
+                MidiFile.parse(
+                    os.path.join(midi_home, fname)).to_resolution(480),
+                keyname,
                 melody_only=False, chord_conti=True, tempo_conti=True,
                 relative_chord=relative_chord, transpose_to_C=transpose_to_C))
             payload = corpus_to_stage2(lead, full, emotion,

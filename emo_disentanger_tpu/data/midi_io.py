@@ -192,6 +192,36 @@ class MidiFile:
                 Instrument(program=program, is_drum=False, name=track_name, notes=notes))
         self.max_tick = max(self.max_tick, tick)
 
+    def to_resolution(self, target: int = 480) -> 'MidiFile':
+        """Return a copy rescaled to ``target`` ticks per beat.
+
+        The tokenizers (like the reference's ``analyzer``, which overwrites
+        ``ticks_per_beat`` with ``BEAT_RESOL`` without rescaling,
+        ``midi2events_emopia.py:87`` — EMOPIA files are all 480 PPQN) assume
+        480-PPQN ticks; real-world files at other divisions go through this
+        first."""
+        if self.ticks_per_beat == target:
+            return self
+        import copy as _copy
+        scale = target / float(self.ticks_per_beat)
+        out = _copy.deepcopy(self)
+        out.ticks_per_beat = target
+
+        def r(t: int) -> int:
+            return int(round(t * scale))
+
+        for inst in out.instruments:
+            for n in inst.notes:
+                n.start, n.end = r(n.start), max(r(n.start) + 1, r(n.end))
+        for tc in out.tempo_changes:
+            tc.time = r(tc.time)
+        for m in out.markers:
+            m.time = r(m.time)
+        for ts in out.time_signature_changes:
+            ts.time = r(ts.time)
+        out.max_tick = r(out.max_tick)
+        return out
+
     # ---------------------------------------------------------------- dump
     def dump(self, path: Optional[str] = None, *, filename: Optional[str] = None) -> None:
         """Write the SMF bytes; accepts ``filename=`` as a keyword alias
