@@ -28,7 +28,7 @@ from .stage1 import STATUS_RUNNING, STATUS_DONE, STATUS_STUCK, STATUS_OVERFLOW
 def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
                      top_p: float, key_temp: float, key_top_p: float,
                      max_events: int, functional: bool, max_iters: int,
-                     max_klen: int, batch: int):
+                     max_klen: int, batch: int, full_attention: bool = True):
     is_beat = jnp.asarray(tables.is_beat)
     beat_pos = jnp.asarray(tables.beat_pos)
     is_bar = jnp.asarray(tables.is_bar)
@@ -70,6 +70,7 @@ def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
             bars=prompt_bars.astype(jnp.int32),
             cur_pos=jnp.zeros((batch,), jnp.int32),
             failed=jnp.zeros((batch,), jnp.int32),
+            rejects=jnp.zeros((batch,), jnp.int32),
             iters=jnp.int32(0),
             status=jnp.full((batch,), STATUS_RUNNING, jnp.int32),
             rng=rng,
@@ -88,7 +89,7 @@ def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
             # timeout; bisected 2026-08) — the whole-cache einsum compiles
             # at any batch and unblocks B=16 stage-1 serving
             logits, cache = model.apply(params, s['last'], s['t'], s['cache'],
-                                        full_attention=True,
+                                        full_attention=full_attention,
                                         method=PlainTransformer.decode_step)
             t = s['t'] + 1
             rng, sub = jax.random.split(s['rng'])
@@ -149,11 +150,14 @@ def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
                                                    s['status'])))
             return dict(cache=cache, t=t, last=last, fed=fed, out=out,
                         out_len=out_len, bars=bars, cur_pos=cur_pos,
-                        failed=failed, iters=s['iters'] + 1, status=status,
+                        failed=failed,
+                        rejects=s['rejects'] + (sampled
+                                                & reject).astype(jnp.int32),
+                        iters=s['iters'] + 1, status=status,
                         rng=rng)
 
         s = jax.lax.while_loop(cond, body, state)
-        return s['out'], s['out_len'], s['status'], s['bars']
+        return s['out'], s['out_len'], s['status'], s['bars'], s['rejects']
 
     return jax.jit(song)
 
@@ -165,7 +169,12 @@ class Stage1BatchGenerator:
     def __init__(self, model: PlainTransformer, params, vocab: Vocab, *,
                  batch: int = 8, temp: float = 1.2, top_p: float = 0.97,
                  max_events: int = 512, max_bars: int = 128,
-                 functional: bool = True, reject_slack: int = 1024):
+                 functional: bool = True, reject_slack: int = 1024,
+                 full_attention: bool = True):
+        """``full_attention=True`` (default) decodes with the whole-cache
+        einsum — the compile-safe path on the axon AOT helper at B>=8 (see
+        the loop-body comment).  ``False`` selects the chunked flash decode
+        (prefix-proportional HBM reads; preferable where it compiles)."""
         self.model = model
         self.params = params
         self.vocab = vocab
@@ -177,7 +186,7 @@ class Stage1BatchGenerator:
             model, self.tables, temp=temp, top_p=top_p, key_temp=1.1,
             key_top_p=0.97, max_events=max_events, functional=functional,
             max_iters=max_events * 2 + 2048, max_klen=max_events + reject_slack,
-            batch=batch)
+            batch=batch, full_attention=full_attention)
 
     def generate(self, emotions: List[str], seed: int = 0,
                  target_bars=None,
@@ -228,7 +237,7 @@ class Stage1BatchGenerator:
                           jnp.int32)
 
         t0 = time.time()
-        out, out_len, status, bars = self._song(
+        out, out_len, status, bars, rejects = self._song(
             self.params, jnp.asarray(prim), jnp.asarray(plen),
             jnp.asarray(pb), tb, want, jax.random.PRNGKey(seed))
         out = np.asarray(out)
@@ -245,5 +254,6 @@ class Stage1BatchGenerator:
             songs.append(self.vocab.decode(tokens[:-1]))
         stats = {'seconds': secs, 'status': status.tolist(),
                  'bars': np.asarray(bars).tolist(),
-                 'events': out_len.tolist()}
+                 'events': out_len.tolist(),
+                 'rejects': np.asarray(rejects).tolist()}
         return songs, stats

@@ -195,6 +195,7 @@ class Stage2BatchGenerator:
                 inj_pos=jnp.zeros((B,), jnp.int32),
                 cur_pos=jnp.zeros((B,), jnp.int32),
                 failed=jnp.zeros((B,), jnp.int32),
+                rejects=jnp.zeros((B,), jnp.int32),
                 status=jnp.full((B,), STATUS_RUNNING, jnp.int32),
                 iters=jnp.int32(0),
                 rng=rng,
@@ -308,13 +309,15 @@ class Stage2BatchGenerator:
                             out_segs=out_segs, out_len=out_len, mode=mode,
                             primer_pos=primer_pos, in_primer=in_primer,
                             bars=bars, inj_pos=inj_pos, cur_pos=cur_pos,
-                            failed=failed, status=status, need_re=need_re,
+                            failed=failed,
+                            rejects=s['rejects'] + reject.astype(jnp.int32),
+                            status=status, need_re=need_re,
                             reanchors=s['reanchors'], iters=s['iters'] + 1,
                             rng=rng)
 
             s = jax.lax.while_loop(cond, body, s)
             return (s['out'], s['out_len'], s['status'], s['bars'],
-                    s['reanchors'])
+                    s['reanchors'], s['rejects'])
 
         return loop
 
@@ -367,7 +370,7 @@ class Stage2BatchGenerator:
             primer_len[b] = len(p)
 
         t0 = time.time()
-        out, out_len, status, bars, reanchors = self._loop(
+        out, out_len, status, bars, reanchors, rejects = self._loop(
             jnp.asarray(inj_tokens), jnp.asarray(inj_segs),
             jnp.asarray(inj_len), jnp.asarray(primer_arr),
             jnp.asarray(primer_len), jnp.asarray(target_bars),
@@ -386,5 +389,6 @@ class Stage2BatchGenerator:
         stats = {'seconds': secs, 'status': np.asarray(status).tolist(),
                  'bars': np.asarray(bars).tolist(),
                  'events': out_len.tolist(),
-                 'reanchors': np.asarray(reanchors).tolist()}
+                 'reanchors': np.asarray(reanchors).tolist(),
+                 'rejects': np.asarray(rejects).tolist()}
         return streams, stats
