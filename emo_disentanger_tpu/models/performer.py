@@ -89,18 +89,17 @@ class PerformerLayer(nn.Module):
         """x [B, 1, D]; carried state S_all [n_layer,B,H,M,Dh] /
         z_all [n_layer,B,H,M], updated in place at layer_idx.
         ``update_mask`` [B] freezes masked elements' state.
-        ``fused=None`` auto-selects the whole-layer Pallas kernel on TPU
-        (:mod:`..ops.performer_decode`); False keeps the composed path.
-        The env var ``EMODIS_FUSED_DECODE`` overrides the auto-select
-        ('0' forces the composed path, '1' forces the kernel) so a
-        suspected Mosaic miscompile can be ruled out without code edits."""
+        ``fused=None`` selects the composed XLA path: on-chip measurement
+        (round 3, v5e, 12L/512d bf16) has the composed path FASTER than the
+        fused whole-layer Pallas kernel at every serving batch — B=4 8.9k
+        vs 6.8k tok/s, B=16 19.8k vs 12.0k (the fused kernel's state block
+        forces a multi-group batch grid at B>=8, round 2's silent
+        scoped-VMEM OOM).  The env var ``EMODIS_FUSED_DECODE='1'`` forces
+        the kernel (kept for A/B and small-batch experiments), ``'0'``
+        forces composed."""
         B = x.shape[0]
         if fused is None:
-            env = os.environ.get('EMODIS_FUSED_DECODE', '')
-            if env in ('0', '1'):
-                fused = env == '1'
-            else:
-                fused = jax.default_backend() == 'tpu'
+            fused = os.environ.get('EMODIS_FUSED_DECODE', '') == '1'
         if fused:
             from ..ops.performer_decode import fused_decode_layer
             pv = lambda m: m.variables['params']

@@ -25,6 +25,15 @@ Reference path being replaced: the CUDA ``causal_product`` recurrent
 inference mode of fast-transformers (``fast_transformer_decoder.py:28-34``)
 — which the reference itself never reaches, since its decode re-forwards
 the whole window per token (``stage2_accompaniment/inference.py:250-257``).
+
+STATUS (round-3 measurement, v5e, 12L/512d bf16): the composed XLA decode
+path is FASTER than this kernel at every serving batch — B=4 8.9k vs 6.8k
+tok/s, B=16 19.8k vs 12.0k (the f32 state block pads its lane dim 64->128
+and forces a multi-group batch grid at B>=8; round 2 shipped it ungridded,
+which deterministically OOMed scoped VMEM at B=16 — 23.98M > 16M — and
+silently cost the round-2 headline its B=16 number).  The kernel is kept
+compilable at any batch (grid over batch groups) behind
+``EMODIS_FUSED_DECODE=1`` for A/B runs; production decodes composed.
 """
 
 from __future__ import annotations
@@ -52,11 +61,14 @@ def _kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
             g1_ref, be1_ref, g2_ref, be2_ref, omega_ref, mask_ref,
             s_ref, z_ref, out_ref, s_out_ref, z_out_ref,
             *, n_head: int, compute_dtype):
-    B, D = x_ref.shape
+    # per-batch refs carry a singleton middle dim ([GB, 1, D] etc.) so the
+    # batch-grid BlockSpecs' last two dims always equal the array dims
+    # (Mosaic requires sublane-divisible or full blocks)
+    B, _, D = x_ref.shape
     Dh = D // n_head
     M = omega_ref.shape[1]
 
-    x32 = x_ref[...].astype(jnp.float32)                  # [B, D]
+    x32 = x_ref[...][:, 0, :].astype(jnp.float32)         # [B, D]
     xc = x32.astype(compute_dtype)
 
     def proj(w_ref, b_ref):
@@ -71,7 +83,7 @@ def _kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     scale = Dh ** -0.25
     rsqm = M ** -0.5
     omega = omega_ref[...]                                # [Dh, M] f32
-    mask = mask_ref[...][:, 0:1]                          # [B, 1] f32
+    mask = mask_ref[...][:, 0, 0:1]                       # [B, 1] f32
 
     def phi(xh, is_query):
         xs = xh * scale                                   # [B, Dh]
@@ -90,9 +102,9 @@ def _kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
         phi_k = phi(k[:, cs], False) * mask
         vh = v[:, cs]                                     # [B, Dh]
         Sh = s_ref[:, ms, :] + phi_k[:, :, None] * vh[:, None, :]
-        zh = z_ref[:, ms] + phi_k
+        zh = z_ref[:, 0, ms] + phi_k
         s_out_ref[:, ms, :] = Sh
-        z_out_ref[:, ms] = zh
+        z_out_ref[:, 0, ms] = zh
         num = jnp.sum(phi_q[:, :, None] * Sh, axis=1)     # [B, Dh]
         den = jnp.sum(phi_q * zh, axis=-1, keepdims=True)
         attn_parts.append(num / (den + EPS))
@@ -115,7 +127,28 @@ def _kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     h2 = h2 + b2_ref[...].astype(jnp.float32)
     out = _ln(y + h2, g2_ref[...].astype(jnp.float32),
               be2_ref[...].astype(jnp.float32))
-    out_ref[...] = out.astype(out_ref.dtype)
+    out_ref[...] = out[:, None, :].astype(out_ref.dtype)
+
+
+def _batch_group(B: int, D: int, H: int, M: int, Dh: int,
+                 weight_bytes: int) -> int:
+    """Largest batch group (divisor of B) whose VMEM footprint fits.
+
+    The scoped budget is 16MB; the dominant blocks are the f32 state S
+    in + out at [GB, H*M, Dh] with the lane dim padded to 128 (Dh=64 tiles
+    as 128 lanes), plus the resident weights.  Round-2 shipped this kernel
+    ungridded and deterministically OOMed scoped VMEM at B=16 (23.98M > 16M
+    — the real cause of BENCH_r02's silent B=4 fallback)."""
+    lane = 128
+    for gb in range(B, 0, -1):
+        if B % gb:
+            continue
+        s_bytes = gb * H * M * max(Dh, lane) * 4 * 2        # S in + out
+        z_bytes = gb * H * M * 4 * 2
+        act_bytes = gb * max(D, 2048) * 4 * 8               # q/k/v/ff temps
+        if weight_bytes + s_bytes + z_bytes + act_bytes <= 12 * 1024 * 1024:
+            return gb
+    return 1
 
 
 def fused_decode_layer(x: jax.Array, S: jax.Array, z: jax.Array,
@@ -129,36 +162,60 @@ def fused_decode_layer(x: jax.Array, S: jax.Array, z: jax.Array,
     state; ``p`` maps wq/bq/wk/bk/wv/bv/wo/bo/w1/b1/w2/b2/g1/be1/g2/be2 to
     the layer's parameters; omega [Dh, M].  Returns (out, S', z').
     ``update_mask`` [B] freezes masked elements' state.
+
+    The kernel runs on a 1-D grid over batch groups so the per-step VMEM
+    footprint stays under budget at any serving batch; weight blocks use a
+    constant index_map and stay resident across grid steps.
     """
     B, D = x.shape
     H = n_head
     Dh = D // H
     M = omega.shape[-1]
     s2 = S.reshape(B, H * M, Dh)       # head-major middle dim (free on host)
-    z2 = z.reshape(B, H * M)
+    z2 = z.reshape(B, 1, H * M)
     if update_mask is None:
-        mask = jnp.ones((B, 128), jnp.float32)
+        mask = jnp.ones((B, 1, 128), jnp.float32)
     else:
         mask = jnp.broadcast_to(
-            update_mask.astype(jnp.float32)[:, None], (B, 128))
+            update_mask.astype(jnp.float32)[:, None, None], (B, 1, 128))
     compute_dtype = p['wq'].dtype
 
     row = lambda a: a.reshape(1, -1)
-    args = [x,
+    args = [x[:, None, :],
             p['wq'], row(p['bq']), p['wk'], row(p['bk']),
             p['wv'], row(p['bv']), p['wo'], row(p['bo']),
             p['w1'], row(p['b1']), p['w2'], row(p['b2']),
             row(p['g1']), row(p['be1']), row(p['g2']), row(p['be2']),
             omega.astype(jnp.float32), mask, s2, z2]
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    # args layout: x(0), 16 weight/bias/norm tensors (1..16), omega(17),
+    # mask(18), s2(19), z2(20)
+    weight_bytes = sum(int(a.size) * a.dtype.itemsize for a in args[1:18])
+    gb = _batch_group(B, D, H, M, Dh, weight_bytes)
+    grid = (B // gb,)
+
+    def batched(shape):
+        # block the leading batch dim; trailing dims whole
+        return pl.BlockSpec((gb,) + shape[1:],
+                            lambda i: (i,) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    def resident(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [batched((B, 1, D))]
+    in_specs += [resident(a.shape) for a in args[1:18]]     # weights + omega
+    in_specs += [batched(mask.shape), batched(s2.shape), batched(z2.shape)]
     out, s_new, z_new = pl.pallas_call(
         functools.partial(_kernel, n_head=H, compute_dtype=compute_dtype),
-        in_specs=[vmem() for _ in args],
-        out_specs=(vmem(), vmem(), vmem()),
-        out_shape=(jax.ShapeDtypeStruct((B, D), x.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(batched((B, 1, D)), batched((B, H * M, Dh)),
+                   batched((B, 1, H * M))),
+        out_shape=(jax.ShapeDtypeStruct((B, 1, D), x.dtype),
                    jax.ShapeDtypeStruct((B, H * M, Dh), jnp.float32),
-                   jax.ShapeDtypeStruct((B, H * M), jnp.float32)),
+                   jax.ShapeDtypeStruct((B, 1, H * M), jnp.float32)),
         input_output_aliases={19: 1, 20: 2},   # S, z updated in place
         interpret=interpret,
     )(*args)
-    return out, s_new.reshape(S.shape), z_new.reshape(z.shape)
+    return out[:, 0, :], s_new.reshape(S.shape), z_new.reshape(z.shape)

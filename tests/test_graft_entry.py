@@ -24,6 +24,9 @@ def test_dryrun_multichip_self_provisions_from_one_device():
     env['JAX_PLATFORMS'] = 'cpu'
     env.pop('_EMODIS_DRYRUN_CHILD', None)
     env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=1'
+    # toy legs only: this test validates the self-provision mechanism; the
+    # production-shape leg runs in the driver's own dryrun each round
+    env['EMODIS_DRYRUN_TOY_ONLY'] = '1'
     code = (
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
@@ -44,11 +47,13 @@ def test_dryrun_multichip_direct_on_provisioned_mesh():
     if len(jax.devices()) < 8:
         pytest.skip('needs the 8-device conftest mesh')
     sys.path.insert(0, REPO)
+    os.environ['EMODIS_DRYRUN_TOY_ONLY'] = '1'
     try:
         import __graft_entry__ as g
         g.dryrun_multichip(8)
     finally:
         sys.path.remove(REPO)
+        os.environ.pop('EMODIS_DRYRUN_TOY_ONLY', None)
 
 
 def test_entry_compiles_and_runs():

@@ -221,3 +221,48 @@ def test_fused_decode_layer_matches_composed(rng_key):
                                    rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(sa['z']), np.asarray(sb['z']),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_fused_decode_layer_batch_grid(rng_key, monkeypatch):
+    """The batch-group grid path (serving batches whose VMEM footprint
+    exceeds one block — the round-2 B=16 scoped-VMEM OOM regression):
+    force groups of 2 and check multi-group output == single-group."""
+    import numpy as np
+    from emo_disentanger_tpu.ops import performer_decode as pd
+    from emo_disentanger_tpu.models.performer import MusicPerformer
+
+    model = MusicPerformer(n_token=48, n_layer=1, n_head=2, d_model=32,
+                           d_ff=64, d_embed=32, dropout=0.0, favor_dims=16)
+    omegas = model.draw_omegas(jax.random.PRNGKey(3))
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        omegas, jnp.zeros((1, 8), jnp.int32))
+    B = 6
+    rng = np.random.RandomState(1)
+
+    def roll(mdl, x, state, mask):
+        h, S_all, z_all = mdl.layers[0].decode_step(
+            x, omegas[0], 0, state['S'], state['z'],
+            update_mask=mask, fused=True)
+        return h, {'S': S_all, 'z': z_all}
+
+    def step_layer(x, state, mask):
+        return model.apply(params, x, state, mask, method=roll)
+
+    x = jnp.asarray(rng.randn(B, 1, 32).astype('f4'))
+    mask = jnp.asarray(rng.random(B) > 0.3)
+
+    s0 = model.apply(params, B, method=MusicPerformer.init_decode_state)
+    h_whole, s_whole = step_layer(x, s0, mask)
+
+    monkeypatch.setattr(pd, '_batch_group', lambda *a, **k: 2)
+    s1 = model.apply(params, B, method=MusicPerformer.init_decode_state)
+    h_grid, s_grid = step_layer(x, s1, mask)
+
+    np.testing.assert_allclose(np.asarray(h_whole), np.asarray(h_grid),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_whole['S']),
+                               np.asarray(s_grid['S']),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_whole['z']),
+                               np.asarray(s_grid['z']),
+                               rtol=1e-5, atol=1e-6)

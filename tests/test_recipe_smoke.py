@@ -29,14 +29,35 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CACHE_DIR = None
 
 
-def _run(args, cwd=REPO, timeout=900):
+def _run(args, cwd=REPO, timeout=600):
     global _CACHE_DIR
     if _CACHE_DIR is None:
         import tempfile
         _CACHE_DIR = tempfile.mkdtemp(prefix='jaxcache_recipe_')
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
-    env.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+    # SINGLE-device mesh: this smoke exercises the cross-process
+    # checkpoint/resume chain, not sharding (test_training/test_tp_sharding
+    # cover the 8-device paths); the virtual mesh multiplies compile time
+    # on this container's one CPU
+    env['XLA_FLAGS'] = ' '.join(
+        f for f in env.get('XLA_FLAGS', '').split()
+        if not f.startswith('--xla_force_host_platform_device_count'))
+    # the image's sitecustomize registers the axon PJRT plugin at
+    # interpreter start, so the env var alone does NOT keep a subprocess
+    # off the TPU (see CLAUDE.md) — every leg must ALSO call
+    # jax.config.update before touching jax.  Wrap -m/-c invocations in a
+    # shim that does so.  (Without this the recipe trained its toys over
+    # the TPU relay: slow and coupled to chip state.)
+    force_cpu = "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+    if args[0] == '-m':
+        shim = (force_cpu
+                + "import sys, runpy\n"
+                + f"sys.argv = [{args[1]!r}] + {args[2:]!r}\n"
+                + f"runpy.run_module({args[1]!r}, run_name='__main__')\n")
+        args = ['-c', shim]
+    elif args[0] == '-c':
+        args = ['-c', force_cpu + args[1]]
     # share compiled programs across the recipe's processes: every leg jits
     # the same train/eval steps, and the point here is the checkpoint chain,
     # not recompilation
@@ -106,10 +127,9 @@ def _ckpt_loss(path):
 @pytest.mark.slow
 def test_stage2_recipe_pretrain_finetune_resume_generate(tmp_path):
     tmp = str(tmp_path)
-    # "pretrain" corpus (pop1k7 role) and "finetune" corpus (emopia role),
-    # larger than the toy fixtures
+    # "pretrain" corpus (pop1k7 role) and "finetune" corpus (emopia role)
     pre_dir, pre_vocab, pre_names = write_stage2_corpus(
-        os.path.join(tmp, 'pre'), n_pieces=10, n_bars=6)
+        os.path.join(tmp, 'pre'), n_pieces=6, n_bars=4)
     tr, va = _split(tmp, pre_names, 'pre')
     cfg_pre = _stage2_cfg(tmp, 'pre', pre_dir, pre_vocab, tr, va,
                           num_epochs=2)
@@ -121,7 +141,7 @@ def test_stage2_recipe_pretrain_finetune_resume_generate(tmp_path):
     # corpus shares the pretrain vocabulary (the reference's events2words
     # builds one shared dictionary per representation).
     ft_dir, _, ft_names = write_stage2_corpus(
-        os.path.join(tmp, 'ft'), n_pieces=8, n_bars=6)
+        os.path.join(tmp, 'ft'), n_pieces=5, n_bars=4)
     tr2, va2 = _split(tmp, ft_names, 'ft')
     cfg_ft = _stage2_cfg(tmp, 'ft', ft_dir, pre_vocab, tr2, va2,
                          trained_params=pre_ckpt, num_epochs=1)
@@ -174,7 +194,7 @@ def test_stage2_recipe_pretrain_finetune_resume_generate(tmp_path):
 def test_stage1_recipe_pretrain_finetune(tmp_path):
     tmp = str(tmp_path)
     pre_dir, pre_vocab, pre_names = write_stage1_corpus(
-        os.path.join(tmp, 'pre'), n_pieces=10, n_bars=6)
+        os.path.join(tmp, 'pre'), n_pieces=6, n_bars=4)
     tr, va = _split(tmp, pre_names, 'pre')
 
     def cfg(tag, num_epochs, pretrained=None):
