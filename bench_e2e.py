@@ -151,7 +151,9 @@ def stage1_to_files(gen1, vocab, out_dir, seed):
     n_s1_tokens = 0
     n_s1_rejects = 0
     for g0 in range(0, N_FILES, S1_BATCH):
-        emotions = [('Q1' if (g0 + i) % 2 == 0 else 'Q2')
+        # stage-1 conditions on VALENCE tokens (Emotion_Positive/Negative,
+        # reference inference.py:128-131); quadrants only appear at stage 2
+        emotions = [('Positive' if (g0 + i) % 2 == 0 else 'Negative')
                     for i in range(S1_BATCH)]
         songs, stats = gen1.generate(emotions, seed=seed + g0,
                                      target_bars=128)
@@ -159,7 +161,7 @@ def stage1_to_files(gen1, vocab, out_dir, seed):
         n_s1_rejects += sum(stats['rejects'])
         for i, song in enumerate(songs):
             idx = g0 + i
-            valence = 'Positive' if emotions[i] == 'Q1' else 'Negative'
+            valence = emotions[i]
             # run_stage1 contract: strip Emotion, ensure a leading Key
             evs = (song or [])[1:]
             if not evs or not evs[0].startswith('Key_') \
