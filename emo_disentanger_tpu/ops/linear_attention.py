@@ -519,7 +519,7 @@ def _dphi_to_dx(dphi, phi, xs, omega, scale):
 
 def _fused_fwd_kernel(q_ref, k_ref, v_ref, m_ref, omega_ref, o_ref,
                       s_scratch, z_scratch, *, chunk: int, scale: float,
-                      eps: float):
+                      eps: float, dot_dtype):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -527,6 +527,11 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, m_ref, omega_ref, o_ref,
         s_scratch[...] = jnp.zeros_like(s_scratch)
         z_scratch[...] = jnp.zeros_like(z_scratch)
 
+    # dot_dtype: bf16 operands (f32 accumulation via preferred_element_type)
+    # when the surrounding compute is bf16 — the same convention as flash
+    # attention's P@V matmul; doubles MXU throughput of the chunk dots.
+    # f32 inputs keep exact f32 operands.
+    c = lambda t: t.astype(dot_dtype)
     omega = omega_ref[...]
     q, _ = _phi_chunk(q_ref, omega, scale, is_query=True)
     k, _ = _phi_chunk(k_ref, omega, scale, is_query=False, m_ref=m_ref)
@@ -535,28 +540,31 @@ def _fused_fwd_kernel(q_ref, k_ref, v_ref, m_ref, omega_ref, o_ref,
     z = z_scratch[...]
 
     bmm_t = (((2,), (2,)), ((0,), (0,)))
-    intra = jax.lax.dot_general(q, k, bmm_t, preferred_element_type=jnp.float32)
+    intra = jax.lax.dot_general(c(q), c(k), bmm_t,
+                                preferred_element_type=jnp.float32)
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     intra = jnp.where((row >= col)[None], intra, 0.0)
 
     bmm = (((2,), (1,)), ((0,), (0,)))
-    num = (jax.lax.dot_general(intra, v, bmm, preferred_element_type=jnp.float32)
-           + jax.lax.dot_general(q, S, bmm, preferred_element_type=jnp.float32))
+    num = (jax.lax.dot_general(c(intra), c(v), bmm,
+                               preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(c(q), c(S), bmm,
+                                 preferred_element_type=jnp.float32))
     den = (jnp.sum(intra, axis=-1, keepdims=True)
-           + jax.lax.dot_general(q, z.swapaxes(1, 2), bmm,
+           + jax.lax.dot_general(c(q), c(z.swapaxes(1, 2)), bmm,
                                  preferred_element_type=jnp.float32))
     o_ref[...] = (num / (den + eps)).astype(o_ref.dtype)
 
     bmm_kt = (((1,), (1,)), ((0,), (0,)))
-    s_scratch[...] = S + jax.lax.dot_general(k, v, bmm_kt,
+    s_scratch[...] = S + jax.lax.dot_general(c(k), c(v), bmm_kt,
                                              preferred_element_type=jnp.float32)
     z_scratch[...] = z + jnp.sum(k, axis=1, keepdims=True)
 
 
 def _fused_bwd_a_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, omega_ref,
                         dq_ref, uw_ref, s_scratch, z_scratch, *,
-                        chunk: int, scale: float, eps: float):
+                        chunk: int, scale: float, eps: float, dot_dtype):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -564,6 +572,7 @@ def _fused_bwd_a_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, omega_ref,
         s_scratch[...] = jnp.zeros_like(s_scratch)
         z_scratch[...] = jnp.zeros_like(z_scratch)
 
+    c = lambda t: t.astype(dot_dtype)
     omega = omega_ref[...]
     q, qs = _phi_chunk(q_ref, omega, scale, is_query=True)
     k, _ = _phi_chunk(k_ref, omega, scale, is_query=False, m_ref=m_ref)
@@ -574,45 +583,54 @@ def _fused_bwd_a_kernel(q_ref, k_ref, v_ref, g_ref, m_ref, omega_ref,
 
     bmm_t = (((2,), (2,)), ((0,), (0,)))
     bmm = (((2,), (1,)), ((0,), (0,)))
-    intra = jax.lax.dot_general(q, k, bmm_t, preferred_element_type=jnp.float32)
+    intra = jax.lax.dot_general(c(q), c(k), bmm_t,
+                                preferred_element_type=jnp.float32)
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     tril = (row >= col)[None]
     intra = jnp.where(tril, intra, 0.0)
 
-    num = (jax.lax.dot_general(intra, v, bmm, preferred_element_type=jnp.float32)
-           + jax.lax.dot_general(q, S, bmm, preferred_element_type=jnp.float32))
+    num = (jax.lax.dot_general(c(intra), c(v), bmm,
+                               preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(c(q), c(S), bmm,
+                                 preferred_element_type=jnp.float32))
     den = (jnp.sum(intra, axis=-1, keepdims=True)
-           + jax.lax.dot_general(q, z.swapaxes(1, 2), bmm,
+           + jax.lax.dot_general(c(q), c(z.swapaxes(1, 2)), bmm,
                                  preferred_element_type=jnp.float32)) + eps
     out = num / den
     u = g / den
     w = -jnp.sum(g * out, axis=-1, keepdims=True) / den
     # pack (u [., Dv], w [., 1]) into one lane-dense tile: a separate
-    # [bh, L, 1] array would be padded 128x by the (8, 128) HBM tiling
+    # [bh, L, 1] array would be padded 128x by the (8, 128) HBM tiling.
+    # Stored in uw_ref's dtype (bf16 under bf16 compute — the [bh, L, 128]
+    # residual is the largest HBM tensor the backward touches; measured
+    # round 3 at f32 it alone moved 2x the q/k/v traffic).
     Dv = u.shape[-1]
     pad_w = uw_ref.shape[-1] - Dv - 1
     uw_ref[...] = jnp.concatenate(
-        [u, w, jnp.zeros(w.shape[:-1] + (pad_w,), jnp.float32)], axis=-1)
+        [u, w, jnp.zeros(w.shape[:-1] + (pad_w,), jnp.float32)],
+        axis=-1).astype(uw_ref.dtype)
 
-    a = jax.lax.dot_general(u, v, bmm_t, preferred_element_type=jnp.float32) + w
+    a = jax.lax.dot_general(c(u), c(v), bmm_t,
+                            preferred_element_type=jnp.float32) + w
     a = jnp.where(tril, a, 0.0)
     bmm_st = (((2,), (2,)), ((0,), (0,)))
-    dphi_q = (jax.lax.dot_general(a, k, bmm, preferred_element_type=jnp.float32)
-              + jax.lax.dot_general(u, S, bmm_st,
+    dphi_q = (jax.lax.dot_general(c(a), c(k), bmm,
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(c(u), c(S), bmm_st,
                                     preferred_element_type=jnp.float32)
               + w * z)
     dq_ref[...] = _dphi_to_dx(dphi_q, q, qs, omega, scale).astype(dq_ref.dtype)
 
     bmm_kt = (((1,), (1,)), ((0,), (0,)))
-    s_scratch[...] = S + jax.lax.dot_general(k, v, bmm_kt,
+    s_scratch[...] = S + jax.lax.dot_general(c(k), c(v), bmm_kt,
                                              preferred_element_type=jnp.float32)
     z_scratch[...] = z + jnp.sum(k, axis=1, keepdims=True)
 
 
 def _fused_bwd_b_kernel(q_ref, k_ref, v_ref, uw_ref, m_ref, omega_ref,
                         dk_ref, dv_ref, r_scratch, rr_scratch, *,
-                        chunk: int, scale: float):
+                        chunk: int, scale: float, dot_dtype):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -620,6 +638,7 @@ def _fused_bwd_b_kernel(q_ref, k_ref, v_ref, uw_ref, m_ref, omega_ref,
         r_scratch[...] = jnp.zeros_like(r_scratch)
         rr_scratch[...] = jnp.zeros_like(rr_scratch)
 
+    c = lambda t: t.astype(dot_dtype)
     omega = omega_ref[...]
     q, _ = _phi_chunk(q_ref, omega, scale, is_query=True)
     k, ks = _phi_chunk(k_ref, omega, scale, is_query=False, m_ref=m_ref)
@@ -637,27 +656,35 @@ def _fused_bwd_b_kernel(q_ref, k_ref, v_ref, uw_ref, m_ref, omega_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
     tril = (row >= col)[None]
 
-    a = jax.lax.dot_general(u, v, bmm_t, preferred_element_type=jnp.float32) + w
+    a = jax.lax.dot_general(c(u), c(v), bmm_t,
+                            preferred_element_type=jnp.float32) + w
     a = jnp.where(tril, a, 0.0)
     aT = a.swapaxes(1, 2)
-    p = jax.lax.dot_general(q, k, bmm_t, preferred_element_type=jnp.float32)
+    p = jax.lax.dot_general(c(q), c(k), bmm_t,
+                            preferred_element_type=jnp.float32)
     p = jnp.where(tril, p, 0.0)
     pT = p.swapaxes(1, 2)
 
     bmm_st = (((2,), (2,)), ((0,), (0,)))
-    dphi_k = (jax.lax.dot_general(aT, q, bmm, preferred_element_type=jnp.float32)
-              + jax.lax.dot_general(v, R, bmm_st,
+    dphi_k = (jax.lax.dot_general(c(aT), c(q), bmm,
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(c(v), c(R), bmm_st,
                                     preferred_element_type=jnp.float32)
               + r)
-    dv = (jax.lax.dot_general(pT, u, bmm, preferred_element_type=jnp.float32)
-          + jax.lax.dot_general(k, R, bmm, preferred_element_type=jnp.float32))
+    dv = (jax.lax.dot_general(c(pT), c(u), bmm,
+                              preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(c(k), c(R), bmm,
+                                preferred_element_type=jnp.float32))
     dk_ref[...] = _dphi_to_dx(dphi_k, k, ks, omega, scale).astype(dk_ref.dtype)
     dv_ref[...] = dv.astype(dv_ref.dtype)
 
     bmm_qt = (((1,), (1,)), ((0,), (0,)))
-    r_scratch[...] = R + jax.lax.dot_general(q, u, bmm_qt,
+    r_scratch[...] = R + jax.lax.dot_general(c(q), c(u), bmm_qt,
                                              preferred_element_type=jnp.float32)
     rr_scratch[...] = r + jnp.sum(w * q, axis=1, keepdims=True)
+
+
+import os as _os
 
 
 def _fused_group_size(bh: int):
@@ -665,6 +692,9 @@ def _fused_group_size(bh: int):
     needs gb divisible by 8 or equal to bh (Mosaic block-shape rule).
     Returns None when no valid grouping exists (caller falls back to the
     unfused composition)."""
+    want = int(_os.environ.get('EMODIS_FUSED_GB', '8'))
+    if bh % want == 0 and want % 8 == 0:
+        return want
     if bh % 8 == 0:
         return 8
     if bh <= 8:
@@ -702,6 +732,14 @@ def _fused_key_max(k2, omega, chunk, scale):
     )(k2, omega)
 
 
+def _dot_dtype_for(x):
+    """bf16 dot operands (f32 accumulation) when the surrounding compute is
+    bf16; exact f32 operands otherwise.  Measured round 3: the fused
+    attention kernels were 43.6% of the bf16 train step with f32-operand
+    dots running the MXU at half rate."""
+    return jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+
 def _fused_fwd_impl(q2, k2, v2, omega, chunk, eps):
     bh, L, Dh = q2.shape
     M = omega.shape[-1]
@@ -710,7 +748,8 @@ def _fused_fwd_impl(q2, k2, v2, omega, chunk, eps):
     m = _fused_key_max(k2, omega, chunk, scale)
     gb, grid, blk, _, m_blk, omega_blk = _fused_specs(bh, L, Dh, M, Dv, chunk)
     return pl.pallas_call(
-        functools.partial(_fused_fwd_kernel, chunk=chunk, scale=scale, eps=eps),
+        functools.partial(_fused_fwd_kernel, chunk=chunk, scale=scale, eps=eps,
+                          dot_dtype=_dot_dtype_for(q2)),
         grid=grid,
         in_specs=[blk(Dh), blk(Dh), blk(Dv), m_blk, omega_blk],
         out_specs=blk(Dv),
@@ -733,14 +772,15 @@ def _fused_bwd_impl(q2, k2, v2, g2, omega, chunk, eps):
     m_blk_rev = m_blk  # constant over j either way
 
     UW = -(-(Dv + 1) // 128) * 128        # lane-dense (u, w) pack width
+    uw_dtype = _dot_dtype_for(q2)         # bf16 residual under bf16 compute
     dq, uw = pl.pallas_call(
         functools.partial(_fused_bwd_a_kernel, chunk=chunk, scale=scale,
-                          eps=eps),
+                          eps=eps, dot_dtype=_dot_dtype_for(q2)),
         grid=grid,
         in_specs=[blk(Dh), blk(Dh), blk(Dv), blk(Dv), m_blk, omega_blk],
         out_specs=(blk(Dh), blk(UW)),
         out_shape=(jax.ShapeDtypeStruct((bh, L, Dh), q2.dtype),
-                   jax.ShapeDtypeStruct((bh, L, UW), jnp.float32)),
+                   jax.ShapeDtypeStruct((bh, L, UW), uw_dtype)),
         scratch_shapes=[pltpu.VMEM((gb, M, Dv), jnp.float32),
                         pltpu.VMEM((gb, 1, M), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -748,7 +788,8 @@ def _fused_bwd_impl(q2, k2, v2, g2, omega, chunk, eps):
     )(q2, k2, v2, g2, m, omega)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_fused_bwd_b_kernel, chunk=chunk, scale=scale),
+        functools.partial(_fused_bwd_b_kernel, chunk=chunk, scale=scale,
+                          dot_dtype=_dot_dtype_for(q2)),
         grid=grid,
         in_specs=[blk_rev(Dh), blk_rev(Dh), blk_rev(Dv), blk_rev(UW),
                   m_blk_rev, omega_blk],
