@@ -70,13 +70,27 @@ class PerformerLayer(nn.Module):
 
     def __call__(self, x, omega, *, deterministic: bool):
         """x [B, L, D]; omega [d_head, M]."""
-        q = self._heads(self.q_proj(x))                       # [B,H,L,Dh]
-        k = self._heads(self.k_proj(x))
-        v = self._heads(self.v_proj(x))
-        # feature map fused into the kernel: no [B,H,L,M] HBM intermediates;
-        # v stays in the compute dtype (f32 accumulation happens in-kernel)
-        attn = favor_causal_attention(q, k, v, omega)
-        attn = attn.astype(x.dtype).swapaxes(1, 2).reshape(x.shape)
+        # heads-last fused attention (EMODIS_HL_ATTN=1): q/k/v stay
+        # [B, L, D] and the head split happens in-kernel via static lane
+        # slices, eliminating the ~20 ms/step of [B,H,L,Dh] transpose
+        # copies around the custom calls.  MEASURED round 3: bit-identical
+        # but 8% SLOWER end-to-end (219.7k vs 238.3k tok/s) — the 64-lane
+        # sub-tile head slices cost Mosaic more in-kernel lane shuffles
+        # than the XLA transposes they replace.  Default stays head-major.
+        if os.environ.get('EMODIS_HL_ATTN', '0') != '0':
+            from ..ops.linear_attention import favor_causal_attention_heads_last
+            attn = favor_causal_attention_heads_last(
+                self.q_proj(x), self.k_proj(x), self.v_proj(x), omega,
+                self.n_head)
+            attn = attn.astype(x.dtype)
+        else:
+            q = self._heads(self.q_proj(x))                   # [B,H,L,Dh]
+            k = self._heads(self.k_proj(x))
+            v = self._heads(self.v_proj(x))
+            # feature map fused into the kernel: no [B,H,L,M] HBM
+            # intermediates; f32 accumulation happens in-kernel
+            attn = favor_causal_attention(q, k, v, omega)
+            attn = attn.astype(x.dtype).swapaxes(1, 2).reshape(x.shape)
         x = x + self.drop(self.out_proj(attn), deterministic=deterministic)
 
         y = x = self.norm1(x)

@@ -901,6 +901,426 @@ favor_causal_attention.defvjp(_fca_fwd, _fca_bwd)
 
 
 # ---------------------------------------------------------------------------
+# heads-last fused kernels: consume [B, L, D] directly.
+#
+# The [B, L, H*Dh] -> [B*H, L, Dh] head transpose around every custom call
+# costs ~20 ms/step at B=16 (profiled round 3: XLA materializes 50 MB
+# relayout copies at ~25 GB/s effective).  These kernels keep the natural
+# activation layout and do the head split IN-KERNEL via static lane slices
+# (the same technique as the whole-layer decode kernel); q/k/v/g/dq/dk/dv
+# and the output never leave [B, L, D].
+# ---------------------------------------------------------------------------
+
+def _hl_group(B: int, row_bytes: int, scratch_row_bytes: int) -> int:
+    """Largest divisor of B whose double-buffered blocks + scratch fit the
+    working VMEM budget."""
+    for gb in range(B, 0, -1):
+        if B % gb:
+            continue
+        if gb * (2 * row_bytes + scratch_row_bytes) <= 11 * 1024 * 1024:
+            return gb
+    return 1
+
+
+def _hl_phi(xh, omega, scale, is_query, kmax=None):
+    """Feature map for one head's [GB, C, Dh] slice -> [GB, C, M], xs.
+
+    ``kmax`` [GB, 1, >=M] is lane-replicated (the kmax kernel broadcasts the
+    per-row scalar across all 128 lanes) so the subtraction broadcasts over
+    sublanes only — Mosaic rejects a combined sublane+lane broadcast."""
+    xs = xh.astype(jnp.float32) * scale
+    u = jax.lax.dot_general(xs, omega, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = u - 0.5 * jnp.sum(xs * xs, axis=-1, keepdims=True)
+    if is_query:
+        h = h - jnp.max(h, axis=-1, keepdims=True)
+    else:
+        h = h - kmax[:, :, :h.shape[-1]]
+    return jnp.exp(h) * (omega.shape[-1] ** -0.5), xs
+
+
+def _kmax_kernel_hl(k_ref, omega_ref, m_ref, *, chunk: int, scale: float,
+                    n_head: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+
+    omega = omega_ref[...]
+    D = k_ref.shape[-1]
+    Dh = D // n_head
+    kf = k_ref[...].astype(jnp.float32)
+    for hd in range(n_head):
+        ks = kf[:, :, hd * Dh:(hd + 1) * Dh] * scale
+        u = jax.lax.dot_general(ks, omega, (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        h = u - 0.5 * jnp.sum(ks * ks, axis=-1, keepdims=True)
+        s = jnp.max(jnp.max(h, axis=1), axis=-1, keepdims=True)   # [GB, 1]
+        m_ref[:, hd, :] = jnp.maximum(
+            m_ref[:, hd, :], jnp.broadcast_to(s, m_ref[:, hd, :].shape))
+
+
+def _fused_fwd_kernel_hl(q_ref, k_ref, v_ref, m_ref, omega_ref, o_ref,
+                         s_scratch, z_scratch, *, chunk: int, scale: float,
+                         eps: float, n_head: int, dot_dtype):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        s_scratch[...] = jnp.zeros_like(s_scratch)
+        z_scratch[...] = jnp.zeros_like(z_scratch)
+
+    c = lambda t: t.astype(dot_dtype)
+    omega = omega_ref[...]
+    D = q_ref.shape[-1]
+    Dh = D // n_head
+    M = omega.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tril = (row >= col)[None]
+    bmm_t = (((2,), (2,)), ((0,), (0,)))
+    bmm = (((2,), (1,)), ((0,), (0,)))
+    mvals = m_ref[...]
+
+    for hd in range(n_head):
+        cs = slice(hd * Dh, (hd + 1) * Dh)
+        ms = slice(hd * M, (hd + 1) * M)
+        kmax = mvals[:, hd, :][:, None, :]          # [GB, 1, 128]               # [GB, 1, 1]
+        q, _ = _hl_phi(q_ref[...][:, :, cs], omega, scale, True)
+        k, _ = _hl_phi(k_ref[...][:, :, cs], omega, scale, False, kmax)
+        v = v_ref[...][:, :, cs].astype(jnp.float32)
+        S = s_scratch[:, ms, :]
+        z = z_scratch[:, :, ms]                            # [GB, 1, M]
+
+        intra = jax.lax.dot_general(c(q), c(k), bmm_t,
+                                    preferred_element_type=jnp.float32)
+        intra = jnp.where(tril, intra, 0.0)
+        num = (jax.lax.dot_general(c(intra), c(v), bmm,
+                                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(c(q), c(S), bmm,
+                                     preferred_element_type=jnp.float32))
+        den = (jnp.sum(intra, axis=-1, keepdims=True)
+               + jax.lax.dot_general(c(q), c(z.swapaxes(1, 2)), bmm,
+                                     preferred_element_type=jnp.float32))
+        o_ref[:, :, cs] = (num / (den + eps)).astype(o_ref.dtype)
+
+        bmm_kt = (((1,), (1,)), ((0,), (0,)))
+        s_scratch[:, ms, :] = S + jax.lax.dot_general(
+            c(k), c(v), bmm_kt, preferred_element_type=jnp.float32)
+        z_scratch[:, :, ms] = z + jnp.sum(k, axis=1, keepdims=True)
+
+
+def _fused_bwd_a_kernel_hl(q_ref, k_ref, v_ref, g_ref, m_ref, omega_ref,
+                           dq_ref, uw_ref, s_scratch, z_scratch, *,
+                           chunk: int, scale: float, eps: float,
+                           n_head: int, dot_dtype):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        s_scratch[...] = jnp.zeros_like(s_scratch)
+        z_scratch[...] = jnp.zeros_like(z_scratch)
+
+    c = lambda t: t.astype(dot_dtype)
+    omega = omega_ref[...]
+    D = q_ref.shape[-1]
+    Dh = D // n_head
+    M = omega.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tril = (row >= col)[None]
+    bmm_t = (((2,), (2,)), ((0,), (0,)))
+    bmm = (((2,), (1,)), ((0,), (0,)))
+    bmm_st = (((2,), (2,)), ((0,), (0,)))
+    mvals = m_ref[...]
+    UWH = uw_ref.shape[-1] // n_head
+
+    for hd in range(n_head):
+        cs = slice(hd * Dh, (hd + 1) * Dh)
+        ms = slice(hd * M, (hd + 1) * M)
+        us = slice(hd * UWH, (hd + 1) * UWH)
+        kmax = mvals[:, hd, :][:, None, :]          # [GB, 1, 128]
+        q, qs = _hl_phi(q_ref[...][:, :, cs], omega, scale, True)
+        k, _ = _hl_phi(k_ref[...][:, :, cs], omega, scale, False, kmax)
+        v = v_ref[...][:, :, cs].astype(jnp.float32)
+        g = g_ref[...][:, :, cs].astype(jnp.float32)
+        S = s_scratch[:, ms, :]
+        z = z_scratch[:, :, ms]
+
+        intra = jax.lax.dot_general(c(q), c(k), bmm_t,
+                                    preferred_element_type=jnp.float32)
+        intra = jnp.where(tril, intra, 0.0)
+        num = (jax.lax.dot_general(c(intra), c(v), bmm,
+                                   preferred_element_type=jnp.float32)
+               + jax.lax.dot_general(c(q), c(S), bmm,
+                                     preferred_element_type=jnp.float32))
+        den = (jnp.sum(intra, axis=-1, keepdims=True)
+               + jax.lax.dot_general(c(q), c(z.swapaxes(1, 2)), bmm,
+                                     preferred_element_type=jnp.float32)) + eps
+        out = num / den
+        u = g / den
+        w = -jnp.sum(g * out, axis=-1, keepdims=True) / den
+        pad_w = UWH - Dh - 1
+        uw_ref[:, :, us] = jnp.concatenate(
+            [u, w, jnp.zeros(w.shape[:-1] + (pad_w,), jnp.float32)],
+            axis=-1).astype(uw_ref.dtype)
+
+        a = jax.lax.dot_general(c(u), c(v), bmm_t,
+                                preferred_element_type=jnp.float32) + w
+        a = jnp.where(tril, a, 0.0)
+        dphi_q = (jax.lax.dot_general(c(a), c(k), bmm,
+                                      preferred_element_type=jnp.float32)
+                  + jax.lax.dot_general(c(u), c(S), bmm_st,
+                                        preferred_element_type=jnp.float32)
+                  + w * z)
+        dq_ref[:, :, cs] = _dphi_to_dx(dphi_q, q, qs, omega,
+                                       scale).astype(dq_ref.dtype)
+
+        bmm_kt = (((1,), (1,)), ((0,), (0,)))
+        s_scratch[:, ms, :] = S + jax.lax.dot_general(
+            c(k), c(v), bmm_kt, preferred_element_type=jnp.float32)
+        z_scratch[:, :, ms] = z + jnp.sum(k, axis=1, keepdims=True)
+
+
+def _fused_bwd_b_kernel_hl(q_ref, k_ref, v_ref, uw_ref, m_ref, omega_ref,
+                           dk_ref, dv_ref, r_scratch, rr_scratch, *,
+                           chunk: int, scale: float, n_head: int, dot_dtype):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        r_scratch[...] = jnp.zeros_like(r_scratch)
+        rr_scratch[...] = jnp.zeros_like(rr_scratch)
+
+    c = lambda t: t.astype(dot_dtype)
+    omega = omega_ref[...]
+    D = q_ref.shape[-1]
+    Dh = D // n_head
+    M = omega.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    tril = (row >= col)[None]
+    bmm_t = (((2,), (2,)), ((0,), (0,)))
+    bmm = (((2,), (1,)), ((0,), (0,)))
+    bmm_st = (((2,), (2,)), ((0,), (0,)))
+    mvals = m_ref[...]
+    UWH = uw_ref.shape[-1] // n_head
+
+    for hd in range(n_head):
+        cs = slice(hd * Dh, (hd + 1) * Dh)
+        ms = slice(hd * M, (hd + 1) * M)
+        us = slice(hd * UWH, (hd + 1) * UWH)
+        kmax = mvals[:, hd, :][:, None, :]          # [GB, 1, 128]
+        q, _ = _hl_phi(q_ref[...][:, :, cs], omega, scale, True)
+        k, ks = _hl_phi(k_ref[...][:, :, cs], omega, scale, False, kmax)
+        v = v_ref[...][:, :, cs].astype(jnp.float32)
+        uw = uw_ref[...][:, :, us]
+        u = uw[:, :, :Dh]
+        w = uw[:, :, Dh:Dh + 1]
+        R = r_scratch[:, ms, :]
+        r = rr_scratch[:, :, ms]
+
+        a = jax.lax.dot_general(c(u), c(v), bmm_t,
+                                preferred_element_type=jnp.float32) + w
+        a = jnp.where(tril, a, 0.0)
+        aT = a.swapaxes(1, 2)
+        p = jax.lax.dot_general(c(q), c(k), bmm_t,
+                                preferred_element_type=jnp.float32)
+        p = jnp.where(tril, p, 0.0)
+        pT = p.swapaxes(1, 2)
+
+        dphi_k = (jax.lax.dot_general(c(aT), c(q), bmm,
+                                      preferred_element_type=jnp.float32)
+                  + jax.lax.dot_general(c(v), c(R), bmm_st,
+                                        preferred_element_type=jnp.float32)
+                  + r)
+        dv = (jax.lax.dot_general(c(pT), c(u), bmm,
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(c(k), c(R), bmm,
+                                    preferred_element_type=jnp.float32))
+        dk_ref[:, :, cs] = _dphi_to_dx(dphi_k, k, ks, omega,
+                                       scale).astype(dk_ref.dtype)
+        dv_ref[:, :, cs] = dv.astype(dv_ref.dtype)
+
+        bmm_qt = (((1,), (1,)), ((0,), (0,)))
+        r_scratch[:, ms, :] = R + jax.lax.dot_general(
+            c(q), c(u), bmm_qt, preferred_element_type=jnp.float32)
+        rr_scratch[:, :, ms] = r + jnp.sum(w * q, axis=1, keepdims=True)
+
+
+def _hl_specs(B, L, D, H, M, chunk, gb, uw_width=None):
+    grid = (B // gb, L // chunk)
+    blk = lambda c: pl.BlockSpec((gb, chunk, c), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM)
+    blk_rev = lambda c: pl.BlockSpec(
+        (gb, chunk, c), lambda i, j: (i, L // chunk - 1 - j, 0),
+        memory_space=pltpu.VMEM)
+    m_blk = pl.BlockSpec((gb, H, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    omega_blk = pl.BlockSpec((D // H, M), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM)
+    return grid, blk, blk_rev, m_blk, omega_blk
+
+
+def _hl_key_max(k2, omega, chunk, scale, n_head, gb):
+    B, L, D = k2.shape
+    M = omega.shape[-1]
+    grid, blk, _, m_blk, omega_blk = _hl_specs(B, L, D, n_head, M, chunk, gb)
+    return pl.pallas_call(
+        functools.partial(_kmax_kernel_hl, chunk=chunk, scale=scale,
+                          n_head=n_head),
+        grid=grid,
+        in_specs=[blk(D), omega_blk],
+        out_specs=m_blk,
+        out_shape=jax.ShapeDtypeStruct((B, n_head, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(k2, omega)
+
+
+def _hl_fwd_impl(q2, k2, v2, omega, chunk, eps, n_head):
+    B, L, D = q2.shape
+    M = omega.shape[-1]
+    H = n_head
+    Dh = D // H
+    scale = Dh ** -0.25
+    ib = q2.dtype.itemsize
+    # fwd rows: q,k,v in + out blocks; scratch S + z per row
+    row_bytes = chunk * D * ib * 4 + H * 128 * 4
+    scratch_row = H * M * Dh * 4 + H * M * 4
+    gb = _hl_group(B, row_bytes, scratch_row)
+    m = _hl_key_max(k2, omega, chunk, scale, H, gb)
+    grid, blk, _, m_blk, omega_blk = _hl_specs(B, L, D, H, M, chunk, gb)
+    return pl.pallas_call(
+        functools.partial(_fused_fwd_kernel_hl, chunk=chunk, scale=scale,
+                          eps=eps, n_head=H, dot_dtype=_dot_dtype_for(q2)),
+        grid=grid,
+        in_specs=[blk(D), blk(D), blk(D), m_blk, omega_blk],
+        out_specs=blk(D),
+        out_shape=jax.ShapeDtypeStruct((B, L, D), q2.dtype),
+        scratch_shapes=[pltpu.VMEM((gb, H * M, Dh), jnp.float32),
+                        pltpu.VMEM((gb, 1, H * M), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(q2, k2, v2, m, omega)
+
+
+def _hl_bwd_impl(q2, k2, v2, g2, omega, chunk, eps, n_head):
+    B, L, D = q2.shape
+    M = omega.shape[-1]
+    H = n_head
+    Dh = D // H
+    scale = Dh ** -0.25
+    ib = q2.dtype.itemsize
+    uw_dtype = _dot_dtype_for(q2)
+    UWH = -(-(Dh + 1) // 128) * 128
+    UW = H * UWH
+    uw_ib = jnp.dtype(uw_dtype).itemsize
+    row_bytes = chunk * (D * ib * 5 + UW * uw_ib) + H * 128 * 4
+    scratch_row = H * M * Dh * 4 + H * M * 4
+    gb = _hl_group(B, row_bytes, scratch_row)
+    m = _hl_key_max(k2, omega, chunk, scale, H, gb)
+    grid, blk, blk_rev, m_blk, omega_blk = _hl_specs(B, L, D, H, M, chunk, gb)
+
+    dq, uw = pl.pallas_call(
+        functools.partial(_fused_bwd_a_kernel_hl, chunk=chunk, scale=scale,
+                          eps=eps, n_head=H, dot_dtype=_dot_dtype_for(q2)),
+        grid=grid,
+        in_specs=[blk(D), blk(D), blk(D), blk(D), m_blk, omega_blk],
+        out_specs=(blk(D), blk(UW)),
+        out_shape=(jax.ShapeDtypeStruct((B, L, D), q2.dtype),
+                   jax.ShapeDtypeStruct((B, L, UW), uw_dtype)),
+        scratch_shapes=[pltpu.VMEM((gb, H * M, Dh), jnp.float32),
+                        pltpu.VMEM((gb, 1, H * M), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(q2, k2, v2, g2, m, omega)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_fused_bwd_b_kernel_hl, chunk=chunk, scale=scale,
+                          n_head=H, dot_dtype=_dot_dtype_for(q2)),
+        grid=grid,
+        in_specs=[blk_rev(D), blk_rev(D), blk_rev(D), blk_rev(UW),
+                  m_blk, omega_blk],
+        out_specs=(blk_rev(D), blk_rev(D)),
+        out_shape=(jax.ShapeDtypeStruct((B, L, D), k2.dtype),
+                   jax.ShapeDtypeStruct((B, L, D), v2.dtype)),
+        scratch_shapes=[pltpu.VMEM((gb, H * M, Dh), jnp.float32),
+                        pltpu.VMEM((gb, 1, H * M), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(q2, k2, v2, uw, m, omega)
+    return dq, dk, dv
+
+
+def _hl_compose(q, k, v, omega, chunk, eps, n_head):
+    """Fallback: head-split via reshape/transpose + the composed path."""
+    B, L, D = q.shape
+    Dh = D // n_head
+    sp = lambda x: x.reshape(B, L, n_head, Dh).transpose(0, 2, 1, 3)
+    out = _favor_compose(sp(q), sp(k), sp(v), omega, chunk, eps)
+    return out.transpose(0, 2, 1, 3).reshape(B, L, D).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def favor_causal_attention_heads_last(q: jax.Array, k: jax.Array,
+                                      v: jax.Array, omega: jax.Array,
+                                      n_head: int, chunk: int = 128,
+                                      eps: float = EPS) -> jax.Array:
+    """FAVOR+ causal linear attention on [B, L, D] activations with the
+    head split INSIDE the kernel (static lane slices) — no [B,H,L,Dh]
+    transpose materializes around the custom call.  Numerically identical
+    to ``favor_causal_attention`` on the head-split tensors; omega's
+    gradient is zero."""
+    if not _use_pallas():
+        return _hl_compose(q, k, v, omega, chunk, eps, n_head)
+    B, L, D = q.shape
+    pad = (-L) % chunk
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    out = _hl_fwd_impl(q, k, v, omega.astype(jnp.float32), chunk, eps,
+                       n_head)
+    if pad:
+        out = out[:, :L]
+    return out
+
+
+def _fca_hl_fwd(q, k, v, omega, n_head, chunk, eps):
+    out = favor_causal_attention_heads_last(q, k, v, omega, n_head, chunk,
+                                            eps)
+    return out, (q, k, v, omega)
+
+
+def _fca_hl_bwd(n_head, chunk, eps, residuals, g):
+    q, k, v, omega = residuals
+    if not _use_pallas():
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _hl_compose(q_, k_, v_, omega, chunk, eps,
+                                           n_head), q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, jnp.zeros_like(omega)
+    B, L, D = q.shape
+    pad = (-L) % chunk
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+    dq, dk, dv = _hl_bwd_impl(q, k, v, g, omega.astype(jnp.float32), chunk,
+                              eps, n_head)
+    if pad:
+        dq, dk, dv = dq[:, :L], dk[:, :L], dv[:, :L]
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(omega))
+
+
+favor_causal_attention_heads_last.defvjp(_fca_hl_fwd, _fca_hl_bwd)
+
+
+# ---------------------------------------------------------------------------
 # decode: O(1) carried state
 # ---------------------------------------------------------------------------
 

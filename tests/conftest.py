@@ -7,11 +7,20 @@ os.environ['JAX_PLATFORMS'] = 'cpu'   # the image presets JAX_PLATFORMS=axon
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+# persistent compile cache: the container has ONE CPU core and jit compiles
+# dominate suite wall time; repeat runs hit the cache
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), '.jax_cache')
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', _cache)
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0')
 
 # sitecustomize may have imported jax already (axon PJRT registration), in
 # which case the env var was read before we set it — force via config too.
 import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ['JAX_COMPILATION_CACHE_DIR'])
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
 
 import pytest  # noqa: E402
 

@@ -194,7 +194,7 @@ def test_stage2_mixed_precision_matches_f32_loss_curve(stage2_data):
         train_step = make_train_step(loss_fn, optimizer, mesh)
         rng = jax.random.PRNGKey(1)
         losses = []
-        for epoch in range(8):
+        for epoch in range(6):
             for batch in dset.batches(8, shuffle=True):
                 batch = neutralize_pad_rows(batch, 8, vocab.pad_id)
                 batch.pop('length')
