@@ -21,20 +21,52 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, tp: int = 1) -> Mesh:
-    """Build a ('dp', 'tp') mesh over the first ``n_devices`` devices."""
+def make_mesh(n_devices: Optional[int] = None, tp: int = 1,
+              dcn: int = 1) -> Mesh:
+    """Build a device mesh.
+
+    ``dcn == 1`` (default): a ('dp', 'tp') single-slice mesh — batch over
+    dp, optional tensor parallelism over tp, all collectives on ICI.
+
+    ``dcn > 1``: a ('dcn', 'dp', 'tp') multi-slice mesh — the standard
+    multi-slice recipe: pure data parallelism across slices (gradient
+    all-reduce rides DCN once per step), dp/tp within each slice on ICI.
+    When the runtime exposes slice topology (``device.slice_index``),
+    devices are grouped so the ``dcn`` axis aligns with real slice
+    boundaries; otherwise (CPU test meshes) a plain reshape emulates it.
+    """
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
-    if n_devices % tp:
-        raise ValueError(f'n_devices={n_devices} not divisible by tp={tp}')
-    dp = n_devices // tp
-    grid = np.asarray(devices[:n_devices]).reshape(dp, tp)
-    return Mesh(grid, ('dp', 'tp'))
+    if n_devices % (tp * dcn):
+        raise ValueError(
+            f'n_devices={n_devices} not divisible by tp*dcn={tp * dcn}')
+    dp = n_devices // (tp * dcn)
+    devs = devices[:n_devices]
+    if dcn == 1:
+        grid = np.asarray(devs).reshape(dp, tp)
+        return Mesh(grid, ('dp', 'tp'))
+    slice_ids = [getattr(d, 'slice_index', None) for d in devs]
+    if all(s is not None for s in slice_ids) and len(set(slice_ids)) == dcn:
+        # group by real slice so dcn-axis neighbors share a slice and the
+        # (dp, tp) inner axes stay on ICI
+        by_slice = {}
+        for d, s in zip(devs, slice_ids):
+            by_slice.setdefault(s, []).append(d)
+        rows = [by_slice[s] for s in sorted(by_slice)]
+        assert all(len(r) == dp * tp for r in rows), \
+            f'uneven devices per slice: {[len(r) for r in rows]}'
+        grid = np.asarray(rows).reshape(dcn, dp, tp)
+    else:
+        grid = np.asarray(devs).reshape(dcn, dp, tp)
+    return Mesh(grid, ('dcn', 'dp', 'tp'))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over dp, replicate the rest."""
+    """Shard the leading (batch) axis over the data axes ((dcn, dp) on a
+    multi-slice mesh, dp otherwise), replicate the rest."""
+    if 'dcn' in mesh.axis_names:
+        return NamedSharding(mesh, P(('dcn', 'dp')))
     return NamedSharding(mesh, P('dp'))
 
 
@@ -61,7 +93,7 @@ def dp_padded_batch_size(mesh: Mesh, batch_size: int) -> int:
     """Smallest batch size >= ``batch_size`` divisible by the mesh's dp
     axis.  Batch-sharded device_put requires dim 0 % dp == 0; drivers pad
     short/odd batches with PAD-target rows (zero loss weight) up to this."""
-    dp = mesh.shape.get('dp', mesh.size)
+    dp = mesh.shape.get('dp', mesh.size) * mesh.shape.get('dcn', 1)
     return -(-batch_size // dp) * dp
 
 

@@ -138,3 +138,26 @@ def test_dp_tp_training_matches_dp_only():
     tp_losses = _train_losses(make_mesh(8, tp=2), params, model, omegas,
                               batches)
     np.testing.assert_allclose(tp_losses, dp_losses, rtol=2e-4, atol=2e-5)
+
+    # multi-slice: ('dcn', 'dp', 'tp') with dp across slices over DCN —
+    # batch sharded over (dcn x dp), same math as single-slice dp
+    ms_losses = _train_losses(make_mesh(8, dcn=2), params, model, omegas,
+                              batches)
+    np.testing.assert_allclose(ms_losses, dp_losses, rtol=2e-4, atol=2e-5)
+    ms_tp_losses = _train_losses(make_mesh(8, tp=2, dcn=2), params, model,
+                                 omegas, batches)
+    np.testing.assert_allclose(ms_tp_losses, dp_losses, rtol=2e-4, atol=2e-5)
+
+
+def test_multislice_mesh_shapes():
+    """dcn-axis construction: axes, shape, and batch padding math."""
+    from emo_disentanger_tpu.parallel.mesh import (batch_sharding,
+                                                   dp_padded_batch_size)
+    mesh = make_mesh(8, dcn=2)
+    assert mesh.axis_names == ('dcn', 'dp', 'tp')
+    assert mesh.shape['dcn'] == 2 and mesh.shape['dp'] == 4
+    assert batch_sharding(mesh).spec == jax.sharding.PartitionSpec(
+        ('dcn', 'dp'))
+    assert dp_padded_batch_size(mesh, 5) == 8
+    mesh2 = make_mesh(8, tp=2, dcn=2)
+    assert mesh2.shape == {'dcn': 2, 'dp': 2, 'tp': 2}
