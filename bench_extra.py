@@ -295,10 +295,11 @@ def bench_stage1_sampled_generation(batch=16, max_events=384):
 
 def main():
     results = {}
-    for name, fn in [('stage1_txl', bench_txl),
-                     ('stage2_performer', bench_performer),
-                     ('stage2_gpt2', bench_gpt2)]:
-        for batch in (1, 16):
+    for name, fn, batches in [
+            ('stage1_txl', bench_txl, (1, 16, 32)),
+            ('stage2_performer', bench_performer, (1, 16, 32, 64)),
+            ('stage2_gpt2', bench_gpt2, (1, 16, 32))]:
+        for batch in batches:
             tps = fn(batch)
             key = f'{name}_B{batch}'
             results[key] = tps
