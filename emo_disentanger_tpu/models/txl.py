@@ -318,9 +318,20 @@ class PlainTransformer(nn.Module):
         return {'k': k_cache, 'v': v_cache, 'r': r_heads}
 
     def decode_step(self, token: jax.Array, t: jax.Array,
-                    cache: Dict[str, Any], full_attention: bool = False,
+                    cache: Dict[str, Any],
+                    full_attention: Optional[bool] = None,
                     ) -> Tuple[jax.Array, Dict[str, Any]]:
-        """token [B] int32, t scalar position -> (logits [B, V], cache)."""
+        """token [B] int32, t scalar position -> (logits [B, V], cache).
+
+        ``full_attention=None`` auto-selects by batch: the chunked flash
+        decode wins up to B=16 but degrades at B>=32, where the whole-cache
+        einsum overtakes it (measured round 3 on v5e at Kmax=1536: B=16
+        flash 7.6k vs einsum 4.7k tok/s; B=32 flash 5.0k vs einsum 7.5k).
+        Pass an explicit bool to pin a path (the batched generator pins the
+        einsum — its while_loop cannot compile the flash path at B>=8 on
+        the axon AOT helper)."""
+        if full_attention is None:
+            full_attention = token.shape[0] >= 32
         h = self.word_emb(token[:, None])
         k_all, v_all = cache['k'], cache['v']
         for idx, layer in enumerate(self.layers):
