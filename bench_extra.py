@@ -290,7 +290,11 @@ def bench_stage1_sampled_generation(batch=16, max_events=384):
     t0 = time.perf_counter()
     _, stats = gen.generate(emos, seed=2)
     dt = time.perf_counter() - t0
-    return sum(stats['events']) / dt
+    # accepted-token throughput understates the loop under random-weight
+    # rejection pressure (~0.7 beat-rejects/token; trained weights measure
+    # ~0 in bench_e2e) — return (accepted/sec, loop steps/sec)
+    return (sum(stats['events']) / dt,
+            (sum(stats['events']) + sum(stats['rejects'])) / dt)
 
 
 def main():
@@ -323,11 +327,14 @@ def main():
                       'value': round(tps, 1),
                       'unit': 'tokens/sec/chip'}))
 
-    tps = bench_stage1_sampled_generation()
+    tps, sps = bench_stage1_sampled_generation()
     print(json.dumps({'metric': 'stage1 TXL batched generation (B=16 bf16, '
                                 'nucleus sampling + key/beat rules on '
-                                'device, full-attention decode)',
+                                'device, full-attention decode; accepted '
+                                'tokens/sec — random weights reject ~0.7/tok,'
+                                ' trained ~0)',
                       'value': round(tps, 1),
+                      'loop_steps_per_sec': round(sps, 1),
                       'unit': 'tokens/sec/chip'}))
 
     for batch, dtype, tag in [(4, jnp.float32, 'f32'),
