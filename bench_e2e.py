@@ -13,7 +13,8 @@ stage-2 batched at B=16.  TWO variants are measured and printed (one JSON
 line each): RANDOM weights (pipeline work identical, token mix synthetic)
 and TRAINED weights (the production-shape models trained to loss plateau on
 the synthetic corpus, so rejection-rule pressure reflects a coherent token
-mix); both lines carry the observed beat-rejection rates.  Song profile mirrors
+mix); both lines carry the observed rejection/skip rates (beat rejects plus
+PAD / early-EOS skips, per emitted token).  Song profile mirrors
 production: stage-1 runs to its 512-event budget; each lead sheet renders
 two arousal quadrants; stage-2 songs run to ~3000 events (teacher-forced
 bars re-injected on repeat up to 16 bars).  Compile time is excluded via one
@@ -234,6 +235,9 @@ def measure(gen1, gen2, vocab, root, tag):
             'songs': n_songs,
             'stage1_tokens': int(s1_tokens),
             'stage2_tokens': int(s2_tokens),
+            # rejection/skip pressure per emitted token: stage-1 counts
+            # beat/key/PAD rejects; stage-2 counts beat rejects + PAD +
+            # early-EOS skips (the loop iterations that emitted nothing)
             'stage1_reject_rate': round(s1_rej / max(s1_tokens, 1), 4),
             'stage2_reject_rate': round(s2_rej / max(s2_tokens, 1), 4),
             'midi_files': len(mids),

@@ -110,11 +110,14 @@ def bench_txl(batch, cache_len=1536):
 def check_fused_decode(batch=8, steps=48):
     """On-chip fused-vs-composed Performer decode equivalence spot check.
 
-    The fused whole-layer Pallas decode kernel auto-enables on TPU but its
-    equivalence test runs in interpret mode on CPU only; this feeds the SAME
-    teacher-forced token stream through both paths on the real backend and
-    returns the max abs logit difference (a Mosaic miscompile at serving
-    shapes would show up here, in the driver artifact)."""
+    The fused whole-layer Pallas decode kernel is OFF by default (the
+    composed path measures faster at serving batches — see
+    ops/performer_decode.py STATUS) but stays available via
+    EMODIS_FUSED_DECODE=1, and its equivalence test runs in interpret mode
+    on CPU only; this feeds the SAME teacher-forced token stream through
+    both paths on the real backend and returns the max abs logit
+    difference, keeping a Mosaic-miscompile canary in the driver
+    artifact."""
     import os
     from emo_disentanger_tpu.models import MusicPerformer
     from emo_disentanger_tpu.utils.precision import cast_params

@@ -1,16 +1,14 @@
 """Training-step time attribution for the MFU analysis (VERDICT r2 weak #4).
 
 Times the stage-2 Performer train step (fwd+bwd+Adam) at B=32/L=3072 bf16 in
-three configurations:
+two configurations:
   1. full — the production step (fused-FAVOR Pallas fwd + Pallas bwd);
   2. no_attn — attention output replaced by v (projections kept, kernels
-     skipped): isolates what the linear-attention kernels cost;
-  3. no_ff — FF block replaced by identity: isolates the dense GEMM share.
+     skipped): isolates what the linear-attention kernels + their
+     surrounding copies cost.
 
-From these the step decomposes into kernel time vs GEMM time vs the rest,
-and a roofline note falls out: the GEMM share runs at the MFU the MXU
-actually achieves on these [B*L, 512] x [512, *] shapes, bounding what any
-attention-side work could recover.
+The finer per-op decomposition (GEMM share, dropout, layout copies) comes
+from the jax.profiler device trace — see ROOFLINE.md.
 
 Prints one JSON line.
 """
@@ -41,6 +39,7 @@ def time_step(patch=None, reps=5):
     from emo_disentanger_tpu.parallel.mesh import make_mesh, shard_batch
     from emo_disentanger_tpu.train.trainer import dropout_rng
 
+    assert patch in (None, 'no_attn'), patch
     saved = None
     if patch == 'no_attn':
         saved = perf_mod.favor_causal_attention

@@ -28,21 +28,28 @@ def _force(x):
     return float(jnp.ravel(x)[0])
 
 
-def build(cache_len):
-    from emo_disentanger_tpu.models import PlainTransformer
-    from emo_disentanger_tpu.utils.precision import cast_params
-    model = PlainTransformer(vocab_size=VOCAB, n_layer=12, n_head=8,
-                             d_model=512, d_ff=2048, d_embed=512,
-                             dtype=jnp.bfloat16)
-    params = cast_params(model.init(jax.random.PRNGKey(0),
-                                    jnp.ones((1, 8), jnp.int32)))
-    return model, params
+_BUILT = None
+
+
+def build():
+    """One shared model+params (independent of cache_len)."""
+    global _BUILT
+    if _BUILT is None:
+        from emo_disentanger_tpu.models import PlainTransformer
+        from emo_disentanger_tpu.utils.precision import cast_params
+        model = PlainTransformer(vocab_size=VOCAB, n_layer=12, n_head=8,
+                                 d_model=512, d_ff=2048, d_embed=512,
+                                 dtype=jnp.bfloat16)
+        params = cast_params(model.init(jax.random.PRNGKey(0),
+                                        jnp.ones((1, 8), jnp.int32)))
+        _BUILT = (model, params)
+    return _BUILT
 
 
 def bench_decode(cache_len, t0, full_attention):
     """Per-token decode seconds with the cache clock starting at t0."""
     from emo_disentanger_tpu.models import PlainTransformer
-    model, params = build(cache_len)
+    model, params = build()
 
     def run(tok0):
         cache = model.apply(params, BATCH, cache_len,
@@ -128,7 +135,10 @@ def main():
         p['K4096_t3840_full'] / p['K4096_t3840_flash'], 2)
     out['full_vs_flash_K4096_early'] = round(
         p['K4096_t0_full'] / p['K4096_t0_flash'], 2)
+    # headline value is the late-prefix full/flash RATIO (the per-point
+    # latencies in 'points' carry the us/token unit)
     out['value'] = out['full_vs_flash_K4096_late']
+    out['value_unit'] = 'ratio (full/flash per-token cost, K=4096 late)'
 
     out['batched_loop_flash_B16'] = probe_batched_loop_compile(False)
     print(json.dumps(out))

@@ -200,9 +200,9 @@ class MidiFile:
         ``midi2events_emopia.py:87`` — EMOPIA files are all 480 PPQN) assume
         480-PPQN ticks; real-world files at other divisions go through this
         first."""
-        if self.ticks_per_beat == target:
-            return self
         import copy as _copy
+        if self.ticks_per_beat == target:
+            return _copy.deepcopy(self)        # always a copy, per contract
         scale = target / float(self.ticks_per_beat)
         out = _copy.deepcopy(self)
         out.ticks_per_beat = target

@@ -692,8 +692,11 @@ def _fused_group_size(bh: int):
     needs gb divisible by 8 or equal to bh (Mosaic block-shape rule).
     Returns None when no valid grouping exists (caller falls back to the
     unfused composition)."""
-    want = int(_os.environ.get('EMODIS_FUSED_GB', '8'))
-    if bh % want == 0 and want % 8 == 0:
+    try:
+        want = int(_os.environ.get('EMODIS_FUSED_GB', '8'))
+    except ValueError:
+        want = 8
+    if want > 0 and bh % want == 0 and want % 8 == 0:
         return want
     if bh % 8 == 0:
         return 8

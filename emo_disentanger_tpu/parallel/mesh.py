@@ -47,17 +47,25 @@ def make_mesh(n_devices: Optional[int] = None, tp: int = 1,
         grid = np.asarray(devs).reshape(dp, tp)
         return Mesh(grid, ('dp', 'tp'))
     slice_ids = [getattr(d, 'slice_index', None) for d in devs]
-    if all(s is not None for s in slice_ids) and len(set(slice_ids)) == dcn:
-        # group by real slice so dcn-axis neighbors share a slice and the
-        # (dp, tp) inner axes stay on ICI
+    if all(s is not None for s in slice_ids):
+        # real multi-slice topology: the dcn axis MUST align with slice
+        # boundaries, otherwise the inner ('dp','tp') ICI axes would
+        # silently straddle DCN links
+        n_slices = len(set(slice_ids))
+        if n_slices != dcn:
+            raise ValueError(
+                f'dcn={dcn} does not match the runtime topology '
+                f'({n_slices} slices over the first {n_devices} devices)')
         by_slice = {}
         for d, s in zip(devs, slice_ids):
             by_slice.setdefault(s, []).append(d)
         rows = [by_slice[s] for s in sorted(by_slice)]
-        assert all(len(r) == dp * tp for r in rows), \
-            f'uneven devices per slice: {[len(r) for r in rows]}'
+        if not all(len(r) == dp * tp for r in rows):
+            raise ValueError(
+                f'uneven devices per slice: {[len(r) for r in rows]}')
         grid = np.asarray(rows).reshape(dcn, dp, tp)
     else:
+        # no slice topology exposed (CPU test meshes): emulate via reshape
         grid = np.asarray(devs).reshape(dcn, dp, tp)
     return Mesh(grid, ('dcn', 'dp', 'tp'))
 
