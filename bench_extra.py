@@ -323,12 +323,13 @@ def main():
                       'value': round(60.0 / per_song, 1),
                       'unit': 'songs/min/chip'}))
 
-    tps = bench_sampled_generation()
-    print(json.dumps({'metric': 'stage2 Performer batched generation '
-                                '(B=16 bf16, nucleus sampling + rules on '
-                                'device, teacher-forced bars)',
-                      'value': round(tps, 1),
-                      'unit': 'tokens/sec/chip'}))
+    for b in (16, 32):
+        tps = bench_sampled_generation(batch=b)
+        print(json.dumps({'metric': 'stage2 Performer batched generation '
+                                    f'(B={b} bf16, nucleus sampling + rules '
+                                    'on device, teacher-forced bars)',
+                          'value': round(tps, 1),
+                          'unit': 'tokens/sec/chip'}))
 
     tps, sps = bench_stage1_sampled_generation()
     print(json.dumps({'metric': 'stage1 TXL batched generation (B=16 bf16, '
