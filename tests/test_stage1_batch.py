@@ -22,6 +22,14 @@ def test_batched_generation_rules_and_determinism():
     songs, stats = gen.generate(emotions, seed=7)
     songs2, _ = gen.generate(emotions, seed=7)
     assert songs == songs2
+    # per-element reject counters: non-negative, and stuck elements must
+    # have accumulated at least their 256 beat strikes
+    assert len(stats['rejects']) == 4
+    assert all(r >= 0 for r in stats['rejects'])
+    from emo_disentanger_tpu.infer.stage1 import STATUS_STUCK
+    for st, rj in zip(stats['status'], stats['rejects']):
+        if st == STATUS_STUCK:
+            assert rj >= 256
 
     for e, song in zip(emotions, songs):
         if song is None or len(song) < 2:

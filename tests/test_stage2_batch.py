@@ -38,6 +38,9 @@ def test_batched_stage2_generation():
     streams, stats = gen.generate(primers, bars_per, seed=3)
 
     assert len(streams) == B
+    # reject/skip counters present per element and non-negative
+    assert len(stats['rejects']) == B
+    assert all(r >= 0 for r in stats['rejects'])
     track_lead = 'Track_LeadSheet'
     for b, stream in enumerate(streams):
         evs = vocab.decode(stream)
