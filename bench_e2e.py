@@ -41,8 +41,8 @@ S1_EVENTS = 512
 S2_EVENTS = 3000
 S2_BARS = 16
 S1_BATCH = 8     # full-attention decode path compiles at B>=8 (round 2 fix)
-S2_BATCH = 32    # serving loop scales: 15.3k tok/s at B=16 -> 19.4k at B=32
-N_FILES = 16     # stage-1 pieces; each renders 2 quadrants => 32 songs
+S2_BATCH = 64    # serving loop scales: 15.2k/19.4k/22.9k tok/s at B=16/32/64
+N_FILES = 32     # stage-1 pieces; each renders 2 quadrants => 64 songs
 
 
 def union_vocab(paths):
