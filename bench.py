@@ -10,28 +10,53 @@ per generated token (``stage2_accompaniment/inference.py:250-257``) — run at
 the SAME batch size and precision on the SAME chip, so the ratio isolates the
 algorithmic speedup of carrying state instead of re-encoding the window.
 
-Robustness contract (round 3): every sub-benchmark runs in a FRESH
-subprocess.  A crashed remote-compile subprocess can leave the parent JAX
-client in a transient ``FAILED_PRECONDITION`` state that only a new process
-recovers from (see CLAUDE.md), so the B=16 primary is retried once in another
-fresh process before any fallback, and any failure's stderr tail is embedded
-in the output JSON under ``error`` — degraded runs are self-explaining.
+Budget contract (round 4 — rounds 2 and 3 both lost the driver artifact to
+wall-clock overrun): the orchestrator has a GLOBAL deadline
+(``EMODIS_BENCH_DEADLINE`` seconds, default 1380 — a full timing pass on
+the chip measured ~1100-1300s worst case) and ALWAYS prints its one JSON
+line before it.  Three layers of protection:
 
-The ``extra`` object carries the other driver-verified headline metrics:
+  1. every sub-benchmark runs in a fresh subprocess whose timeout is clipped
+     to the remaining budget; extras run in priority order and are SKIPPED
+     (recorded as such) when the remainder is too small for them;
+  2. after every sub the cumulative result is written to
+     ``BENCH_progress.json`` next to this file, so even a SIGKILL leaves
+     on-disk evidence of everything that completed;
+  3. SIGTERM/SIGINT print the cumulative result line before exiting — the
+     driver's ``timeout`` sends SIGTERM first, and the driver parses the
+     last JSON line of the stdout tail, so even a driver-level timeout
+     (rc=124) still certifies whatever ran.
+
+The fresh-subprocess rule also keeps the round-2 robustness contract: a
+crashed remote-compile subprocess can leave the parent JAX client in a
+transient ``FAILED_PRECONDITION`` state that only a new process recovers
+from (see CLAUDE.md), so the B=16 primary is retried once in another fresh
+process before any fallback, and failures' stderr tails are embedded under
+``errors``.
+
+Extras, in priority order (highest first):
   * stage-2 Performer train step (fwd+bwd+Adam, B=16, L=3072, bf16 compute /
-    f32 master weights + Adam) in tokens/sec and MFU vs the v5e bf16 peak;
-  * stage-1 TXL decode (KV-cache flash-decode, B=16, bf16);
-  * stage-2 GPT-2 decode (KV cache, B=16, bf16);
+    f32 master+Adam) in tokens/sec and MFU vs the v5e bf16 peak;
   * stage-2 batched sampled generation (the real serving loop: nucleus
-    sampling + rejection rules + teacher-forced bars on device, B=16).
+    sampling + rejection rules + teacher-forced bars on device, B=16);
+  * two-stage songs/min MEASURED end-to-end (stage-1 lead sheets ->
+    roman.txt -> stage-2 -> .mid incl. file IO; the reference's serving
+    contract, ``stage2_accompaniment/inference.py:422-485``);
+  * stage-1 TXL decode (KV-cache, B=16, bf16);
+  * stage-2 GPT-2 decode (KV cache, B=16, bf16).
+
+(The fused-decode accuracy A/B of round 3 was dropped from the driver run —
+it spent scarce budget checking a kernel that is off by default; it remains
+available via ``bench_extra.check_fused_decode``.)
 
 Prints ONE JSON line:
   {"metric": ..., "value": tokens/sec/chip, "unit": ..., "vs_baseline": x,
-   "extra": {...}}
+   "extra": {...}, "elapsed": {...}, "skipped": [...]}
 """
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -40,6 +65,17 @@ VOCAB = 360
 DECODE_STEPS = 512
 WINDOW = 2048
 BATCH = 16
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DEADLINE = float(os.environ.get('EMODIS_BENCH_DEADLINE', '1380'))
+RESERVE = 20.0          # budget slice kept for the final print
+PROGRESS_PATH = os.path.join(HERE, 'BENCH_progress.json')
+
+_T0 = time.monotonic()
+
+
+def _remaining():
+    return DEADLINE - (time.monotonic() - _T0) - RESERVE
 
 
 # --------------------------------------------------------------------------
@@ -138,6 +174,11 @@ def sub_train():
     return {'tps': tps, 'mfu': mfu}
 
 
+def sub_e2e():
+    import bench_e2e
+    return bench_e2e.quick_random()
+
+
 SUBS = {
     'primary_b16': lambda: sub_primary(BATCH, DECODE_STEPS, WINDOW, 6),
     'primary_b4': lambda: sub_primary(4, 256, 1024, 4),
@@ -146,9 +187,7 @@ SUBS = {
     'gpt2': lambda: {'tps': __import__('bench_extra').bench_gpt2(16)},
     'sampled_gen': lambda: {
         'tps': __import__('bench_extra').bench_sampled_generation()},
-    'fused_check': lambda: dict(zip(
-        ('max_abs_logit_err', 'argmax_agreement'),
-        __import__('bench_extra').check_fused_decode())),
+    'e2e': sub_e2e,
 }
 
 
@@ -156,107 +195,191 @@ SUBS = {
 # orchestrator
 # --------------------------------------------------------------------------
 
-def run_sub(name, timeout=1500):
+RESULT = {
+    'metric': 'stage2 Performer decode throughput (PENDING)',
+    'value': 0.0,
+    'unit': 'tokens/sec/chip',
+    'vs_baseline': 0.0,
+    'extra': {},
+    'elapsed': {},
+    'skipped': [],
+}
+_PRINTED = False
+_CHILD = None
+
+
+def _emit():
+    global _PRINTED
+    if _PRINTED:
+        return
+    _PRINTED = True
+    if not RESULT['skipped']:
+        del RESULT['skipped']
+    if not RESULT.get('errors'):
+        RESULT.pop('errors', None)
+    RESULT['elapsed']['total'] = round(time.monotonic() - _T0, 1)
+    print(json.dumps(RESULT), flush=True)
+
+
+def _write_progress():
+    try:
+        snap = dict(RESULT)
+        snap['elapsed'] = dict(RESULT['elapsed'],
+                               total=round(time.monotonic() - _T0, 1))
+        with open(PROGRESS_PATH, 'w') as f:
+            json.dump(snap, f, indent=1)
+    except OSError:
+        pass
+
+
+def _on_signal(signum, frame):
+    global _CHILD
+    if _CHILD is not None and _CHILD.poll() is None:
+        try:
+            _CHILD.kill()
+        except OSError:
+            pass
+    RESULT.setdefault('errors', {})['_signal'] = (
+        f'killed by signal {signum} at t={round(time.monotonic() - _T0, 1)}s')
+    _emit()
+    _write_progress()
+    os._exit(0)
+
+
+def run_sub(name, timeout):
     """Run one sub-benchmark in a fresh python process.
 
-    Returns (result_dict_or_None, error_string_or_None)."""
+    Returns (result_dict_or_None, error_string_or_None, elapsed_secs)."""
+    global _CHILD
     cmd = [sys.executable, os.path.abspath(__file__), '--sub', name]
+    t0 = time.monotonic()
     try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=timeout,
-                              cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
-        return None, f'{name}: timeout after {timeout}s'
+        _CHILD = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                  stderr=subprocess.PIPE, text=True,
+                                  cwd=HERE)
+        try:
+            out, err_out = _CHILD.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            _CHILD.kill()
+            _CHILD.communicate()
+            return (None, f'{name}: timeout after {int(timeout)}s',
+                    time.monotonic() - t0)
+        rc = _CHILD.returncode
+    finally:
+        _CHILD = None
+    elapsed = time.monotonic() - t0
     # the result is the last stdout line that parses as JSON (jax warnings
     # may precede it)
-    for line in reversed(proc.stdout.strip().splitlines()):
+    for line in reversed((out or '').strip().splitlines()):
         try:
             obj = json.loads(line)
         except (json.JSONDecodeError, ValueError):
             continue
         if isinstance(obj, dict) and obj.get('__sub__') == name:
-            return obj['result'], None
-    tail = (proc.stderr or proc.stdout or '').strip().splitlines()[-8:]
-    return None, f'{name}: rc={proc.returncode}; ' + ' | '.join(tail)[-500:]
+            return obj['result'], None, elapsed
+    tail = (err_out or out or '').strip().splitlines()[-8:]
+    return None, f'{name}: rc={rc}; ' + ' | '.join(tail)[-500:], elapsed
+
+
+def _record(name, res, err, elapsed):
+    RESULT['elapsed'][name] = round(elapsed, 1)
+    if err is not None:
+        RESULT.setdefault('errors', {})[name] = err
+    _write_progress()
 
 
 def main():
-    errors = {}
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    RESULT['deadline_secs'] = DEADLINE
+    _write_progress()   # clobber any stale progress file immediately
 
-    # primary: B=16, retried once in a fresh process (transient
+    # ---- primary: B=16, one retry in a fresh process (transient
     # FAILED_PRECONDITION after a crashed compile recovers in a new process)
-    primary, err = run_sub('primary_b16')
-    if primary is None:
-        errors['primary_b16_try1'] = err
-        primary, err = run_sub('primary_b16')
-        if primary is None:
-            errors['primary_b16_try2'] = err
+    primary = None
+    for attempt in ('try1', 'try2'):
+        budget = _remaining()
+        if budget < 120:
+            RESULT['skipped'].append(f'primary_b16_{attempt}')
+            break
+        primary, err, elapsed = run_sub('primary_b16', min(480.0, budget))
+        _record(f'primary_b16_{attempt}', primary, err, elapsed)
+        if primary is not None:
+            break
 
     if primary is not None:
-        result = {
+        RESULT.update({
             'metric': 'stage2 Performer decode throughput '
                       '(12L/512d, bf16, greedy, B=16, vs window re-forward at '
                       'equal batch/precision)',
             'value': round(primary['ours'], 2),
-            'unit': 'tokens/sec/chip',
             'vs_baseline': round(primary['ours'] / primary['ref'], 2),
-        }
+        })
     else:
-        fallback, err = run_sub('primary_b4')
-        if fallback is None:
-            errors['primary_b4'] = err
-            result = {
-                'metric': 'stage2 Performer decode throughput (FAILED)',
-                'value': 0.0,
-                'unit': 'tokens/sec/chip',
-                'vs_baseline': 0.0,
-            }
+        budget = _remaining()
+        fallback = None
+        if budget >= 120:
+            fallback, err, elapsed = run_sub('primary_b4', min(360.0, budget))
+            _record('primary_b4', fallback, err, elapsed)
         else:
-            result = {
+            RESULT['skipped'].append('primary_b4')
+        if fallback is not None:
+            RESULT.update({
                 'metric': 'stage2 Performer decode throughput '
                           '(12L/512d, bf16, greedy, B=4 fallback, vs window '
                           're-forward at equal batch/precision)',
                 'value': round(fallback['ours'], 2),
-                'unit': 'tokens/sec/chip',
                 'vs_baseline': round(fallback['ours'] / fallback['ref'], 2),
-            }
+            })
+        else:
+            RESULT['metric'] = 'stage2 Performer decode throughput (FAILED)'
+    _write_progress()
 
-    extra = {}
-    sub, err = run_sub('train')
-    if sub is not None:
-        extra['train_step_B16_L3072_bf16_tokens_per_sec'] = round(sub['tps'], 1)
-        extra['train_step_B16_L3072_bf16_mfu'] = round(sub['mfu'], 4)
-    else:
-        errors['train'] = err
-    sub, err = run_sub('txl')
-    if sub is not None:
-        extra['stage1_txl_decode_B16_tokens_per_sec'] = round(sub['tps'], 1)
-    else:
-        errors['txl'] = err
-    sub, err = run_sub('gpt2')
-    if sub is not None:
-        extra['stage2_gpt2_decode_B16_tokens_per_sec'] = round(sub['tps'], 1)
-    else:
-        errors['gpt2'] = err
-    sub, err = run_sub('sampled_gen')
-    if sub is not None:
-        extra['stage2_sampled_generation_B16_tokens_per_sec'] = \
-            round(sub['tps'], 1)
-    else:
-        errors['sampled_gen'] = err
-    sub, err = run_sub('fused_check')
-    if sub is not None:
-        extra['fused_decode_max_abs_logit_err'] = \
-            round(sub['max_abs_logit_err'], 5)
-        extra['fused_decode_argmax_agreement'] = \
-            round(sub['argmax_agreement'], 4)
-    else:
-        errors['fused_check'] = err
+    # ---- extras, in priority order; each skipped when the remaining budget
+    # is below its minimum useful allotment
+    def extract_train(sub):
+        return {
+            'train_step_B16_L3072_bf16_tokens_per_sec': round(sub['tps'], 1),
+            'train_step_B16_L3072_bf16_mfu': round(sub['mfu'], 4)}
 
-    result['extra'] = extra
-    if errors:
-        result['error'] = errors
-    print(json.dumps(result))
+    def extract_e2e(sub):
+        out = {'two_stage_songs_per_min_measured_e2e': sub['songs_per_min']}
+        for k in ('wall_seconds', 'songs', 'stage1_reject_rate',
+                  'stage2_reject_rate', 'midi_files'):
+            if k in sub.get('detail', {}):
+                out[f'e2e_{k}'] = sub['detail'][k]
+        return out
+
+    plan = [
+        # (name, cap_secs, min_secs, extractor)
+        ('train', 360, 90, extract_train),
+        ('sampled_gen', 420, 120,
+         lambda s: {'stage2_sampled_generation_B16_tokens_per_sec':
+                    round(s['tps'], 1)}),
+        ('e2e', 480, 150, extract_e2e),
+        # the flash-decode compiles exceeded 300s caps on the round-4
+        # timing pass; these run last and may be skipped near the deadline
+        ('txl', 480, 120,
+         lambda s: {'stage1_txl_decode_B16_tokens_per_sec':
+                    round(s['tps'], 1)}),
+        ('gpt2', 480, 120,
+         lambda s: {'stage2_gpt2_decode_B16_tokens_per_sec':
+                    round(s['tps'], 1)}),
+    ]
+    for name, cap, min_secs, extract in plan:
+        budget = _remaining()
+        if budget < min_secs:
+            RESULT['skipped'].append(name)
+            _write_progress()
+            continue
+        sub, err, elapsed = run_sub(name, min(float(cap), budget))
+        _record(name, sub, err, elapsed)
+        if sub is not None:
+            RESULT['extra'].update(extract(sub))
+            _write_progress()
+
+    _emit()
+    _write_progress()
 
 
 if __name__ == '__main__':

@@ -140,10 +140,12 @@ def build_models(vocab):
     return s1, p1, s2, p2, omegas
 
 
-def stage1_to_files(gen1, vocab, out_dir, seed):
+def stage1_to_files(gen1, vocab, out_dir, seed, n_files=None, s1_batch=None):
     """Batched stage-1 -> *_roman.txt files (run_stage1 contract: the
     emotion token is dropped; key must lead the stream)."""
     from emo_disentanger_tpu.infer.pipeline import events_to_txt
+    n_files = N_FILES if n_files is None else n_files
+    s1_batch = S1_BATCH if s1_batch is None else s1_batch
     os.makedirs(out_dir, exist_ok=True)
     fallback = ['Key_C'] + ['Bar_None', 'Beat_0', 'Chord_I_M',
                             'Note_Octave_5', 'Note_Degree_I',
@@ -151,11 +153,11 @@ def stage1_to_files(gen1, vocab, out_dir, seed):
     files = []
     n_s1_tokens = 0
     n_s1_rejects = 0
-    for g0 in range(0, N_FILES, S1_BATCH):
+    for g0 in range(0, n_files, s1_batch):
         # stage-1 conditions on VALENCE tokens (Emotion_Positive/Negative,
         # reference inference.py:128-131); quadrants only appear at stage 2
         emotions = [('Positive' if (g0 + i) % 2 == 0 else 'Negative')
-                    for i in range(S1_BATCH)]
+                    for i in range(s1_batch)]
         songs, stats = gen1.generate(emotions, seed=seed + g0,
                                      target_bars=128)
         n_s1_tokens += sum(stats['events'])
@@ -177,8 +179,15 @@ def stage1_to_files(gen1, vocab, out_dir, seed):
     return files, n_s1_tokens, n_s1_rejects
 
 
-def stage2_render(gen2, vocab, files, out_dir, seed):
-    """Batched stage-2 over (file x quadrant) jobs -> *_full.mid."""
+def stage2_render(gen2, vocab, files, out_dir, seed, s2_batch=None,
+                  s2_bars=None, use_serve=False):
+    """Batched stage-2 over (file x quadrant) jobs -> *_full.mid.
+
+    ``use_serve``: continuous batching — all jobs stream through ``gen2``'s
+    (smaller) slot count via ``serve()`` refill instead of one lockstep
+    wave sized to the job count."""
+    s2_batch = S2_BATCH if s2_batch is None else s2_batch
+    s2_bars = S2_BARS if s2_bars is None else s2_bars
     from emo_disentanger_tpu.infer.pipeline import (
         emotion_candidates_for_file, extract_midi_events_from_generation,
         read_generated_events)
@@ -192,14 +201,21 @@ def stage2_render(gen2, vocab, files, out_dir, seed):
         lead_bars = [bar[:250] for bar in lead_bars]
         # repeat bars up to the production bar count so stage-2 songs run to
         # their full ~3000-event profile
-        bars = (lead_bars * ((S2_BARS // max(len(lead_bars), 1)) + 1))[:S2_BARS]
+        bars = (lead_bars * ((s2_bars // max(len(lead_bars), 1)) + 1))[:s2_bars]
         for emo in emotion_candidates_for_file(path):
             primer = [vocab.event2idx[f'Emotion_{emo}'],
                       vocab.event2idx[key], vocab.event2idx['Tempo_110']]
             jobs.append((path, emo, key, primer, bars))
-    assert len(jobs) == S2_BATCH, f'{len(jobs)} jobs != batch {S2_BATCH}'
-    streams, stats = gen2.generate([j[3] for j in jobs],
-                                   [j[4] for j in jobs], seed=seed)
+    if use_serve:
+        # continuous batching: the job queue may exceed the slot count —
+        # finished slots are re-armed from the queue instead of waiting for
+        # the wave's longest song
+        streams, stats = gen2.serve([j[3] for j in jobs],
+                                    [j[4] for j in jobs], seed=seed)
+    else:
+        assert len(jobs) == s2_batch, f'{len(jobs)} jobs != batch {s2_batch}'
+        streams, stats = gen2.generate([j[3] for j in jobs],
+                                       [j[4] for j in jobs], seed=seed)
     for (path, emo, key, _, _), toks in zip(jobs, streams):
         gen_events = vocab.decode(toks)
         try:
@@ -212,22 +228,39 @@ def stage2_render(gen2, vocab, files, out_dir, seed):
             # random-weight streams can be structurally degenerate; the
             # decode/render work is still counted
             pass
-    return sum(stats['events']), sum(stats['rejects'])
+    return sum(stats['events']), sum(stats['rejects']), len(jobs)
 
 
-def measure(gen1, gen2, vocab, root, tag):
-    """Warmup-compile then measure the full pipeline including file IO."""
+def measure(gen1, gen2, vocab, root, tag, n_files=None, s1_batch=None,
+            s2_batch=None, s2_bars=None, use_serve=False, warm_files=None):
+    """Warmup-compile then measure the full pipeline including file IO.
+
+    ``warm_files``: number of stage-1 pieces for the warmup pass (defaults
+    to ``n_files``).  A serve-mode warmup must queue MORE jobs than slots
+    (``> s2_batch/2`` files) so the slot-refill ``_reset`` path compiles
+    during warmup, not inside the measured run."""
+    n_files = N_FILES if n_files is None else n_files
+    s2_batch = S2_BATCH if s2_batch is None else s2_batch
+    warm_files = n_files if warm_files is None else warm_files
+    if use_serve:
+        assert 2 * warm_files > s2_batch, \
+            'serve warmup needs jobs > slots to compile the refill path'
     warm_dir = os.path.join(root, 'warm_' + tag)
-    files, _, _ = stage1_to_files(gen1, vocab, warm_dir, seed=100)
-    stage2_render(gen2, vocab, files[:N_FILES], warm_dir, seed=101)
+    files, _, _ = stage1_to_files(gen1, vocab, warm_dir, seed=100,
+                                  n_files=warm_files, s1_batch=s1_batch)
+    stage2_render(gen2, vocab, files[:warm_files], warm_dir, seed=101,
+                  s2_batch=s2_batch, s2_bars=s2_bars, use_serve=use_serve)
 
     out_dir = os.path.join(root, 'gen_' + tag)
     t0 = time.perf_counter()
-    files, s1_tokens, s1_rej = stage1_to_files(gen1, vocab, out_dir, seed=0)
-    s2_tokens, s2_rej = stage2_render(gen2, vocab, files, out_dir, seed=1)
+    files, s1_tokens, s1_rej = stage1_to_files(gen1, vocab, out_dir, seed=0,
+                                               n_files=n_files,
+                                               s1_batch=s1_batch)
+    s2_tokens, s2_rej, n_songs = stage2_render(
+        gen2, vocab, files, out_dir, seed=1, s2_batch=s2_batch,
+        s2_bars=s2_bars, use_serve=use_serve)
     secs = time.perf_counter() - t0
     mids = [f for f in os.listdir(out_dir) if f.endswith('_full.mid')]
-    n_songs = S2_BATCH
     return {
         'value': round(60.0 * n_songs / secs, 2),
         'detail': {
@@ -243,6 +276,42 @@ def measure(gen1, gen2, vocab, root, tag):
             'midi_files': len(mids),
         },
     }
+
+
+def quick_random(n_files=16, s1_batch=8, s2_batch=32, s2_events=S2_EVENTS,
+                 s2_bars=S2_BARS, s1_events=S1_EVENTS):
+    """Time-boxed variant for the driver's bench.py budget: RANDOM weights
+    only (the trained variant needs in-process training — builder-run in
+    BENCH_e2e artifacts), one warmup + one measured pipeline pass at
+    stage-1 B=8 / stage-2 B=32.  Returns a plain dict (no printing)."""
+    from helpers import write_stage1_corpus, write_stage2_corpus
+    from emo_disentanger_tpu.infer.stage1_batch import Stage1BatchGenerator
+    from emo_disentanger_tpu.infer.stage2_batch import Stage2BatchGenerator
+
+    tmp = tempfile.mkdtemp(prefix='bench_e2e_quick_')
+    try:
+        _, s1_vocab, _ = write_stage1_corpus(
+            os.path.join(tmp, 'corpus1'), n_pieces=4, n_bars=4)
+        _, s2_vocab, _ = write_stage2_corpus(
+            os.path.join(tmp, 'corpus2'), n_pieces=4, n_bars=4)
+        vocab = union_vocab([s1_vocab, s2_vocab])
+        s1, p1, s2, p2, omegas = build_models(vocab)
+        gen1 = Stage1BatchGenerator(s1, p1, vocab, batch=s1_batch,
+                                    temp=1.2, top_p=0.97,
+                                    max_events=s1_events, max_bars=128)
+        gen2 = Stage2BatchGenerator(s2, p2, vocab, batch=s2_batch,
+                                    temp=1.1, top_p=0.99,
+                                    max_events=s2_events,
+                                    max_bar_tokens=256, max_bars=s2_bars,
+                                    omegas=omegas)
+        res = measure(gen1, gen2, vocab, tmp, 'rand', n_files=n_files,
+                      s1_batch=s1_batch, s2_batch=s2_batch, s2_bars=s2_bars)
+        return {'songs_per_min': res['value'], 'detail': res['detail'],
+                'config': {'s1_batch': s1_batch, 's2_batch': s2_batch,
+                           'weights': 'random',
+                           's1_events': s1_events, 's2_events': s2_events}}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def main():
@@ -294,6 +363,22 @@ def main():
             'metric': 'two-stage songs/min MEASURED end-to-end (same config, '
                       'TRAINED weights: synthetic-corpus recipe to plateau, '
                       'bf16 serving cast)',
+            'value': res['value'], 'unit': 'songs/min/chip',
+            'detail': res['detail'],
+        }))
+
+        # continuous-batching variant (VERDICT r3 weak #3): 96 jobs stream
+        # through the SAME 64 slots via serve() refill — no inter-wave
+        # barrier, so short songs free their slot for the queue instead of
+        # idling until the wave's longest song finishes
+        res = measure(gen1t, gen2t, vocab, tmp, 'serve', n_files=48,
+                      warm_files=N_FILES + 2, use_serve=True)
+        res['detail']['slots'] = S2_BATCH
+        print(json.dumps({
+            'metric': 'two-stage songs/min MEASURED end-to-end (TRAINED '
+                      f'weights, CONTINUOUS BATCHING: 96 jobs streamed '
+                      f'through {S2_BATCH} slots with refill-on-finish, '
+                      'vs the lockstep wave above)',
             'value': res['value'], 'unit': 'songs/min/chip',
             'detail': res['detail'],
         }))

@@ -224,14 +224,8 @@ def bench_train_step(batch=4, seqlen=3072, dtype=jnp.float32):
     return tps, mfu
 
 
-def bench_sampled_generation(batch=16, max_events=1500):
-    """The production serving loop: Stage2BatchGenerator with full nucleus
-    sampling, rejection rules and per-bar teacher forcing on device."""
+def _stage2_vocab():
     from emo_disentanger_tpu.core.vocab import Vocab
-    from emo_disentanger_tpu.models import MusicPerformer
-    from emo_disentanger_tpu.infer.stage2_batch import Stage2BatchGenerator
-    from emo_disentanger_tpu.utils.precision import cast_params
-
     events = ['Emotion_Q1', 'Emotion_Q2', 'Emotion_Q3', 'Emotion_Q4',
               'Key_C', 'Key_c', 'Bar_None', 'EOS_None', 'Track_LeadSheet',
               'Track_Full', 'Tempo_110', 'Chord_I_M', 'Chord_V_7',
@@ -239,26 +233,59 @@ def bench_sampled_generation(batch=16, max_events=1500):
     events += [f'Beat_{b}' for b in range(16)]
     events += [f'Filler_{i}' for i in range(VOCAB - len(events) - 1)]
     events = sorted(set(events))
-    vocab = Vocab({e: i for i, e in enumerate(events)},
-                  {i: e for i, e in enumerate(events)})
+    return Vocab({e: i for i, e in enumerate(events)},
+                 {i: e for i, e in enumerate(events)})
 
-    model = MusicPerformer(n_token=vocab.size, n_layer=12, n_head=8,
-                           d_model=512, d_ff=2048, d_embed=512,
-                           favor_dims=128, dtype=jnp.bfloat16)
-    omegas = model.draw_omegas(jax.random.PRNGKey(1))
-    params = cast_params(model.init(jax.random.PRNGKey(0),
-                                    jnp.ones((1, 8), jnp.int32), omegas,
-                                    jnp.zeros((1, 8), jnp.int32)))
-    gen = Stage2BatchGenerator(model, params, vocab, batch=batch, temp=1.1,
-                               top_p=0.99, max_events=max_events,
-                               max_bar_tokens=32, max_bars=16, omegas=omegas)
+
+def _stage2_generator(vocab, batch, max_events, backbone='performer',
+                      temp=None, top_p=None):
+    from emo_disentanger_tpu.models import MusicPerformer, MusicGPT2
+    from emo_disentanger_tpu.infer.stage2_batch import Stage2BatchGenerator
+    from emo_disentanger_tpu.utils.precision import cast_params
+    if backbone == 'performer':
+        model = MusicPerformer(n_token=vocab.size, n_layer=12, n_head=8,
+                               d_model=512, d_ff=2048, d_embed=512,
+                               favor_dims=128, dtype=jnp.bfloat16)
+        omegas = model.draw_omegas(jax.random.PRNGKey(1))
+        params = cast_params(model.init(jax.random.PRNGKey(0),
+                                        jnp.ones((1, 8), jnp.int32), omegas,
+                                        jnp.zeros((1, 8), jnp.int32)))
+        temp, top_p = temp or 1.1, top_p or 0.99
+    else:
+        # GPT-2 serving params mirror the reference (inference.py:404)
+        model = MusicGPT2(n_token=vocab.size, n_layer=12, n_head=8,
+                          d_model=512, d_ff=2048, d_embed=512,
+                          dtype=jnp.bfloat16)
+        omegas = None
+        params = cast_params(model.init(jax.random.PRNGKey(0),
+                                        jnp.ones((1, 8), jnp.int32),
+                                        jnp.zeros((1, 8), jnp.int32)))
+        temp, top_p = temp or 1.2, top_p or 0.97
+    return Stage2BatchGenerator(model, params, vocab, batch=batch, temp=temp,
+                                top_p=top_p, max_events=max_events,
+                                max_bar_tokens=32, max_bars=16,
+                                omegas=omegas)
+
+
+def bench_sampled_generation(batch=16, max_events=1500, backbone='performer',
+                             continuous=False, n_jobs=None):
+    """The production serving loop: Stage2BatchGenerator with full nucleus
+    sampling, rejection rules and per-bar teacher forcing on device.
+
+    ``continuous=True`` measures ``serve()`` (refill finished slots from a
+    job queue) over ``n_jobs`` (default 2x batch) jobs instead of one
+    lockstep wave."""
+    vocab = _stage2_vocab()
+    gen = _stage2_generator(vocab, batch, max_events, backbone)
     bar = [vocab.event2idx[e] for e in ['Bar_None', 'Beat_0', 'Chord_I_M']]
     primer = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
               vocab.event2idx['Tempo_110']]
-    args = ([primer] * batch, [[list(bar)] * 16] * batch)
-    gen.generate(*args, seed=1)                      # compile
+    n = (n_jobs or 2 * batch) if continuous else batch
+    args = ([primer] * n, [[list(bar)] * 16] * n)
+    run = gen.serve if continuous else gen.generate
+    run(*args, seed=1)                               # compile
     t0 = time.perf_counter()
-    streams, stats = gen.generate(*args, seed=2)
+    streams, stats = run(*args, seed=2)
     dt = time.perf_counter() - t0
     return sum(stats['events']) / dt
 
@@ -328,6 +355,21 @@ def main():
         print(json.dumps({'metric': 'stage2 Performer batched generation '
                                     f'(B={b} bf16, nucleus sampling + rules '
                                     'on device, teacher-forced bars)',
+                          'value': round(tps, 1),
+                          'unit': 'tokens/sec/chip'}))
+
+    tps = bench_sampled_generation(batch=16, backbone='gpt2')
+    print(json.dumps({'metric': 'stage2 GPT-2 batched generation (B=16 bf16, '
+                                'nucleus sampling + rules on device, '
+                                'teacher-forced bars, in-loop re-anchor)',
+                      'value': round(tps, 1),
+                      'unit': 'tokens/sec/chip'}))
+
+    for b in (16, 64):
+        tps = bench_sampled_generation(batch=b, continuous=True)
+        print(json.dumps({'metric': 'stage2 Performer CONTINUOUS batching '
+                                    f'(B={b} slots, 2x jobs, serve() refill '
+                                    'on finish, bf16)',
                           'value': round(tps, 1),
                           'unit': 'tokens/sec/chip'}))
 

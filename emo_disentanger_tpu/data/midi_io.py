@@ -13,6 +13,7 @@ start/end/pitch/velocity, tempo changes, text markers, time signatures).
 
 from __future__ import annotations
 
+import math
 import struct
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
@@ -208,7 +209,10 @@ class MidiFile:
         out.ticks_per_beat = target
 
         def r(t: int) -> int:
-            return int(round(t * scale))
+            # deterministic half-up rounding: Python round() ties-to-even
+            # would shift .5-tick boundaries differently per parity on odd
+            # PPQN inputs (advisor r3); floor(+0.5) keeps it monotone
+            return math.floor(t * scale + 0.5)
 
         for inst in out.instruments:
             for n in inst.notes:

@@ -98,9 +98,11 @@ def _make_song_loop(model: PlainTransformer, tables: RuleTables, *,
             rng, sub = jax.random.split(s['rng'])
 
             key_step = jnp.logical_and(functional, s['out_len'] == 1)
-            word_main = nucleus_sample(sub, logits[0], temp, top_p)
-            word_key = nucleus_sample(sub, logits[0], key_temp, key_top_p)
-            word = jnp.where(key_step, word_key, word_main)
+            # one sort: key-step (temp, top_p) selected as traced scalars —
+            # bit-identical to sampling twice (same rng key) and picking
+            word = nucleus_sample(sub, logits[0],
+                                  jnp.where(key_step, key_temp, temp),
+                                  jnp.where(key_step, key_top_p, top_p))
 
             # --- rule evaluation ---
             key_ok = is_key[word] & (key_major[word] == want_major)
@@ -180,7 +182,15 @@ class Stage1Generator:
         ``Bar_None`` tokens in the primer minus one — the reference
         convention, since ``get_leadsheet_prompt`` slices the prompt at
         ``bar_pos[prompt_n_bars] + 1`` so the primer carries
-        ``prompt_n_bars + 1`` bar tokens (``inference.py:35-38``)."""
+        ``prompt_n_bars + 1`` bar tokens (``inference.py:35-38``).
+
+        NB the default assumes ``primer_events[0]`` is a non-Bar control
+        token (the Emotion token, per the reference's primer layout).
+        ``run_stage1`` substitutes the emotion token over the raw prompt's
+        first event — if that raw event was itself ``Bar_None`` the count
+        here would be one short, so callers doing prompt continuation
+        should always pass ``prompt_bars`` computed from the raw prompt
+        (as ``run_stage1`` does)."""
         primer_events = primer_events or ['Emotion_{}'.format(emotion)]
         if prompt_bars is None:
             prompt_bars = max(

@@ -37,7 +37,7 @@ def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
     is_key = jnp.asarray(tables.is_key)
     key_major = jnp.asarray(tables.key_major)
 
-    sample_v = jax.vmap(nucleus_sample, in_axes=(0, 0, None, None))
+    sample_vp = jax.vmap(nucleus_sample, in_axes=(0, 0, 0, 0))
 
     def song(params, primer: jax.Array, primer_len: jax.Array,
              prompt_bars: jax.Array, target_bars: jax.Array,
@@ -103,10 +103,13 @@ def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
 
             key_step = (jnp.logical_and(functional, s['out_len'] == 1)
                         & ~in_primer)
-            w_main = sample_v(keys, logits, temp, top_p)
-            w_key = sample_v(keys, logits, key_temp, key_top_p)
-            word = jnp.where(in_primer, prim_next,
-                             jnp.where(key_step, w_key, w_main))
+            # ONE batched sort: the key step's (temp, top_p) regime is
+            # selected per element instead of sampling twice and picking —
+            # bit-identical (both former calls shared the same rng keys)
+            t_eff = jnp.where(key_step, key_temp, temp)
+            p_eff = jnp.where(key_step, key_top_p, top_p)
+            w_samp = sample_vp(keys, logits, t_eff, p_eff)
+            word = jnp.where(in_primer, prim_next, w_samp)
 
             key_ok = is_key[word] & (key_major[word] == want_major)
             reject_key = key_step & ~key_ok

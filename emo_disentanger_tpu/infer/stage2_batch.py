@@ -49,6 +49,7 @@ STATUS_EOS = 2
 STATUS_MAX = 3
 STATUS_STUCK = 4
 STATUS_DONE_BARS = 5
+STATUS_IDLE = 6          # serve(): slot drained, no job to refill
 
 MODE_SAMPLE = 0
 MODE_INJECT = 1
@@ -87,9 +88,23 @@ class Stage2BatchGenerator:
         self.max_bars = max_bars
         self.omegas = omegas
         self.tables = build_rule_tables(vocab)
-        self._loop = jax.jit(self._make_loop())
+        self._build_core()
+        self._loop = jax.jit(self._lockstep_loop)
+        self._initj = jax.jit(self._init_state)
+        # serve(): donating jits — old state buffers are reused in place
+        self._chunk = jax.jit(self._run_chunk, donate_argnums=0)
+        self._reset = jax.jit(self._reset_slot, donate_argnums=0)
+        self._idle = jax.jit(self._idle_slot, donate_argnums=0)
 
-    def _make_loop(self):
+    def _build_core(self):
+        """Define the shared loop body over a state dict that CONTAINS the
+        per-job inputs (injection matrices, primer rows, bar targets).
+
+        Keeping jobs in the carry — rather than closed over as loop
+        arguments — is what makes continuous batching possible: ``serve()``
+        swaps one finished slot's job with a tiny jitted in-place update
+        and re-enters the same compiled loop, instead of recompiling or
+        re-uploading whole batch inputs."""
         tb = self.tables
         is_beat = jnp.asarray(tb.is_beat)
         beat_pos = jnp.asarray(tb.beat_pos)
@@ -98,7 +113,7 @@ class Stage2BatchGenerator:
         is_lead = jnp.asarray(tb.is_track_lead)
         B = self.batch
         sample_v = jax.vmap(nucleus_sample, in_axes=(0, 0, None, None))
-        max_iters = self.max_events * 2 + 8192
+        max_iters = self._max_iters = self.max_events * 2 + 8192
 
         def reanchor_all(s):
             """One batched parallel forward over each flagged element's
@@ -160,11 +175,10 @@ class Stage2BatchGenerator:
             return self.model.apply(self.params, token, seg, t, state,
                                     method=MusicGPT2.decode_step_batchpos)
 
-        def loop(inj_tokens, inj_segs, inj_len, primer, primer_len,
-                 target_bars, rng):
+        def init_state(inj_tokens, inj_segs, inj_len, primer, primer_len,
+                       target_bars, rng):
             """inj_tokens/segs [B, max_bars, max_bar_tokens]; inj_len [B, max_bars];
             primer [B, P]; primer_len [B]; n_bars/target_bars [B]."""
-            P = primer.shape[1]
             if self.is_performer:
                 state = self.model.apply(self.params, B,
                                          method=MusicPerformer.init_decode_state)
@@ -174,8 +188,11 @@ class Stage2BatchGenerator:
             out = jnp.zeros((B, self.max_events + 8), jnp.int32)
             out = jax.lax.dynamic_update_slice(out, primer, (0, 0))
 
-            s = dict(
+            return dict(
                 state=state,
+                inj_tokens=inj_tokens, inj_segs=inj_segs, inj_len=inj_len,
+                primer=primer, primer_len=primer_len.astype(jnp.int32),
+                target_bars=target_bars,
                 # seg stream mirrors ``Stage2Generator``'s all_segs (primer
                 # tokens are seg 0 — zeros suffice); needed because seg is
                 # NOT a pure function of the token id (lead-sheet events
@@ -196,150 +213,229 @@ class Stage2BatchGenerator:
                 cur_pos=jnp.zeros((B,), jnp.int32),
                 failed=jnp.zeros((B,), jnp.int32),
                 rejects=jnp.zeros((B,), jnp.int32),
+                esteps=jnp.zeros((B,), jnp.int32),     # per-element steps
                 status=jnp.full((B,), STATUS_RUNNING, jnp.int32),
                 iters=jnp.int32(0),
                 rng=rng,
             )
 
-            def running(s):
-                return s['status'] == STATUS_RUNNING
+        def running(s):
+            return s['status'] == STATUS_RUNNING
 
-            def cond(s):
-                return jnp.any(running(s)) & (s['iters'] < max_iters)
+        def body(s):
+            if not self.is_performer:
+                s = maybe_reanchor(s)
+            rng, sub = jax.random.split(s['rng'])
+            keys = jax.random.split(sub, B)
+            act = running(s)
+            primer = s['primer']
+            inj_tokens, inj_segs = s['inj_tokens'], s['inj_segs']
+            inj_len, target_bars = s['inj_len'], s['target_bars']
 
-            def body(s):
-                if not self.is_performer:
-                    s = maybe_reanchor(s)
-                rng, sub = jax.random.split(s['rng'])
-                keys = jax.random.split(sub, B)
-                act = running(s)
+            # --- choose this step's token per element ---
+            sampled = sample_v(keys, s['logits'], self.temp, self.top_p)
+            prim_tok = jnp.take_along_axis(
+                primer, jnp.clip(s['primer_pos'], 0, primer.shape[1] - 1)
+                [:, None], axis=1)[:, 0]
+            bar_idx = jnp.minimum(s['bars'], inj_tokens.shape[1] - 1)
+            inj_tok = inj_tokens[jnp.arange(B), bar_idx,
+                                 jnp.minimum(s['inj_pos'],
+                                             self.max_bar_tokens - 1)]
+            inj_seg = inj_segs[jnp.arange(B), bar_idx,
+                               jnp.minimum(s['inj_pos'],
+                                           self.max_bar_tokens - 1)]
 
-                # --- choose this step's token per element ---
-                sampled = sample_v(keys, s['logits'], self.temp, self.top_p)
-                prim_tok = jnp.take_along_axis(
-                    primer, jnp.clip(s['primer_pos'], 0, primer.shape[1] - 1)
-                    [:, None], axis=1)[:, 0]
-                bar_idx = jnp.minimum(s['bars'], inj_tokens.shape[1] - 1)
-                inj_tok = inj_tokens[jnp.arange(B), bar_idx,
-                                     jnp.minimum(s['inj_pos'],
-                                                 self.max_bar_tokens - 1)]
-                inj_seg = inj_segs[jnp.arange(B), bar_idx,
-                                   jnp.minimum(s['inj_pos'],
-                                               self.max_bar_tokens - 1)]
+            injecting = (s['mode'] == MODE_INJECT) & ~s['in_primer']
+            token = jnp.where(s['in_primer'], prim_tok,
+                              jnp.where(injecting, inj_tok, sampled))
+            seg = jnp.where(s['in_primer'], 0,
+                            jnp.where(injecting, inj_seg,
+                                      jnp.where(is_lead[token], 0, 1)))
 
-                injecting = (s['mode'] == MODE_INJECT) & ~s['in_primer']
-                token = jnp.where(s['in_primer'], prim_tok,
-                                  jnp.where(injecting, inj_tok, sampled))
-                seg = jnp.where(s['in_primer'], 0,
-                                jnp.where(injecting, inj_seg,
-                                          jnp.where(is_lead[token], 0, 1)))
+            # --- sampling rules (only in SAMPLE mode) ---
+            sampling = (s['mode'] == MODE_SAMPLE) & ~s['in_primer']
+            beat_bad = sampling & is_beat[token] & (beat_pos[token] < s['cur_pos'])
+            eos_early = sampling & is_eos[token] & (s['bars'] < target_bars - 1)
+            reject = (beat_bad | (sampling & is_pad[token]) | eos_early) & act
+            failed = jnp.where(beat_bad & act, s['failed'] + 1,
+                               jnp.where(sampling & is_beat[token] & act,
+                                         0, s['failed']))
+            stuck = failed >= 256
 
-                # --- sampling rules (only in SAMPLE mode) ---
-                sampling = (s['mode'] == MODE_SAMPLE) & ~s['in_primer']
-                beat_bad = sampling & is_beat[token] & (beat_pos[token] < s['cur_pos'])
-                eos_early = sampling & is_eos[token] & (s['bars'] < target_bars - 1)
-                reject = (beat_bad | (sampling & is_pad[token]) | eos_early) & act
-                failed = jnp.where(beat_bad & act, s['failed'] + 1,
-                                   jnp.where(sampling & is_beat[token] & act,
-                                             0, s['failed']))
-                stuck = failed >= 256
+            advance = act & ~reject
+            # --- run the model for everyone; per-element state freezing
+            # happens inside the step (masked update / slot overwrite) ---
+            new_logits, state = model_step(token, seg, s['t'],
+                                           s['state'], advance)
+            logits = jnp.where(advance[:, None], new_logits, s['logits'])
+            t = s['t'] + advance.astype(jnp.int32)
 
-                advance = act & ~reject
-                # --- run the model for everyone; per-element state freezing
-                # happens inside the step (masked update / slot overwrite) ---
-                new_logits, state = model_step(token, seg, s['t'],
-                                               s['state'], advance)
-                logits = jnp.where(advance[:, None], new_logits, s['logits'])
-                t = s['t'] + advance.astype(jnp.int32)
+            # --- bookkeeping ---
+            append = advance & ~s['in_primer']
+            idx = jnp.minimum(s['out_len'], self.max_events + 7)
+            out = jnp.where(
+                append[:, None],
+                s['out'].at[jnp.arange(B), idx].set(token), s['out'])
+            out_segs = jnp.where(
+                append[:, None],
+                s['out_segs'].at[jnp.arange(B), idx].set(seg),
+                s['out_segs'])
+            out_len = s['out_len'] + append.astype(jnp.int32)
 
-                # --- bookkeeping ---
-                append = advance & ~s['in_primer']
-                idx = jnp.minimum(s['out_len'], self.max_events + 7)
-                out = jnp.where(
-                    append[:, None],
-                    s['out'].at[jnp.arange(B), idx].set(token), s['out'])
-                out_segs = jnp.where(
-                    append[:, None],
-                    s['out_segs'].at[jnp.arange(B), idx].set(seg),
-                    s['out_segs'])
-                out_len = s['out_len'] + append.astype(jnp.int32)
+            # primer progress
+            primer_pos = s['primer_pos'] + (advance & s['in_primer'])
+            in_primer = s['in_primer'] & (primer_pos < s['primer_len'])
 
-                # primer progress
-                primer_pos = s['primer_pos'] + (advance & s['in_primer'])
-                in_primer = s['in_primer'] & (primer_pos < primer_len)
+            # injection progress: entering inject rows resets cur_pos
+            bar_len = inj_len[jnp.arange(B), bar_idx]
+            inj_pos = jnp.where(injecting & advance, s['inj_pos'] + 1,
+                                s['inj_pos'])
+            inj_done = injecting & advance & (inj_pos >= bar_len)
+            mode = jnp.where(inj_done, MODE_SAMPLE, s['mode'])
+            cur_pos = jnp.where(inj_done, 0, s['cur_pos'])
 
-                # injection progress: entering inject rows resets cur_pos
-                bar_len = inj_len[jnp.arange(B), bar_idx]
-                inj_pos = jnp.where(injecting & advance, s['inj_pos'] + 1,
-                                    s['inj_pos'])
-                inj_done = injecting & advance & (inj_pos >= bar_len)
-                mode = jnp.where(inj_done, MODE_SAMPLE, s['mode'])
-                cur_pos = jnp.where(inj_done, 0, s['cur_pos'])
+            # sampled Track_LeadSheet: bar finished -> inject next
+            bar_done = sampling & advance & is_lead[token]
+            bars = s['bars'] + bar_done.astype(jnp.int32)
+            more = bars < target_bars
+            mode = jnp.where(bar_done & more, MODE_INJECT, mode)
+            inj_pos = jnp.where(bar_done, 0, inj_pos)
 
-                # sampled Track_LeadSheet: bar finished -> inject next
-                bar_done = sampling & advance & is_lead[token]
-                bars = s['bars'] + bar_done.astype(jnp.int32)
-                more = bars < target_bars
-                mode = jnp.where(bar_done & more, MODE_INJECT, mode)
-                inj_pos = jnp.where(bar_done, 0, inj_pos)
+            cur_pos = jnp.where(sampling & advance & is_beat[token],
+                                beat_pos[token], cur_pos)
 
-                cur_pos = jnp.where(sampling & advance & is_beat[token],
-                                    beat_pos[token], cur_pos)
+            eos_final = sampling & advance & is_eos[token] & ~eos_early
+            esteps = s['esteps'] + act.astype(jnp.int32)
+            status = jnp.where(act & stuck, STATUS_STUCK, s['status'])
+            # per-element runaway guard (serve() has no global cond cap):
+            # same budget the lockstep cond applied globally
+            status = jnp.where(act & (esteps >= max_iters), STATUS_STUCK,
+                               status)
+            need_re = s['need_re']
+            if not self.is_performer:
+                # bar-boundary re-anchor trigger: the host path checks
+                # ``t + len(inject) + margin >= cache_len`` before
+                # injecting the next bar (stage2.py:254-256)
+                next_bar = jnp.minimum(bars, inj_tokens.shape[1] - 1)
+                next_len = inj_len[jnp.arange(B), next_bar]
+                reinj = (bar_done & more
+                         & (t + next_len + self.reanchor_margin
+                            >= self.gpt2_cache_len))
+                need_re = need_re | reinj
+            status = jnp.where(act & eos_final, STATUS_EOS, status)
+            status = jnp.where(act & (out_len > self.max_events),
+                               STATUS_MAX, status)
+            status = jnp.where(act & bar_done & ~more, STATUS_DONE_BARS,
+                               status)
 
-                eos_final = sampling & advance & is_eos[token] & ~eos_early
-                status = jnp.where(act & stuck, STATUS_STUCK, s['status'])
-                need_re = s['need_re']
-                if not self.is_performer:
-                    # bar-boundary re-anchor trigger: the host path checks
-                    # ``t + len(inject) + margin >= cache_len`` before
-                    # injecting the next bar (stage2.py:254-256)
-                    next_bar = jnp.minimum(bars, inj_tokens.shape[1] - 1)
-                    next_len = inj_len[jnp.arange(B), next_bar]
-                    reinj = (bar_done & more
-                             & (t + next_len + self.reanchor_margin
-                                >= self.gpt2_cache_len))
-                    need_re = need_re | reinj
-                status = jnp.where(act & eos_final, STATUS_EOS, status)
-                status = jnp.where(act & (out_len > self.max_events),
-                                   STATUS_MAX, status)
-                status = jnp.where(act & bar_done & ~more, STATUS_DONE_BARS,
-                                   status)
+            return dict(s, state=state, logits=logits, t=t, out=out,
+                        out_segs=out_segs, out_len=out_len, mode=mode,
+                        primer_pos=primer_pos, in_primer=in_primer,
+                        bars=bars, inj_pos=inj_pos, cur_pos=cur_pos,
+                        failed=failed, esteps=esteps,
+                        rejects=s['rejects'] + reject.astype(jnp.int32),
+                        status=status, need_re=need_re,
+                        iters=s['iters'] + 1, rng=rng)
 
-                return dict(state=state, logits=logits, t=t, out=out,
-                            out_segs=out_segs, out_len=out_len, mode=mode,
-                            primer_pos=primer_pos, in_primer=in_primer,
-                            bars=bars, inj_pos=inj_pos, cur_pos=cur_pos,
-                            failed=failed,
-                            rejects=s['rejects'] + reject.astype(jnp.int32),
-                            status=status, need_re=need_re,
-                            reanchors=s['reanchors'], iters=s['iters'] + 1,
-                            rng=rng)
+        self._init_state = init_state
+        self._running = running
+        self._body = body
 
-            s = jax.lax.while_loop(cond, body, s)
-            return (s['out'], s['out_len'], s['status'], s['bars'],
-                    s['reanchors'], s['rejects'])
+    # ---- compiled drivers over the shared body ----
 
-        return loop
+    def _lockstep_loop(self, inj_tokens, inj_segs, inj_len, primer,
+                       primer_len, target_bars, rng):
+        s = self._init_state(inj_tokens, inj_segs, inj_len, primer,
+                             primer_len, target_bars, rng)
 
-    def generate(self, primers: Sequence[Sequence[int]],
-                 lead_sheet_bars: Sequence[List[List[int]]], *,
-                 seed: int = 0, max_bars: Optional[int] = None,
-                 ) -> Tuple[List[List[int]], dict]:
-        """primers: B token lists; lead_sheet_bars: B lists of per-bar token
-        lists.  Returns B token streams (each dropping its final token, as
-        the reference does)."""
+        def cond(s):
+            return jnp.any(self._running(s)) & (s['iters'] < self._max_iters)
+
+        s = jax.lax.while_loop(cond, self._body, s)
+        return (s['out'], s['out_len'], s['status'], s['bars'],
+                s['reanchors'], s['rejects'])
+
+    def _run_chunk(self, s):
+        """Run until ANY running element finishes (or nothing is running).
+
+        The entry running-mask is captured inside the jit; the loop exits
+        the step an element's status leaves RUNNING, handing control back
+        to the host to harvest + refill that slot."""
+        entry = self._running(s)
+
+        def cond(st):
+            run = self._running(st)
+            return jnp.any(run) & jnp.all(run == entry)
+
+        return jax.lax.while_loop(cond, self._body, s)
+
+    def _reset_slot(self, s, slot, inj_tokens, inj_segs, inj_len, primer,
+                    primer_len, target_bars):
+        """Re-arm one slot with a fresh job (continuous batching refill).
+
+        ``slot`` is traced — one compile serves every slot.  The Performer's
+        FAVOR (S, z) state and the GPT-2 cache need no explicit clear:
+        resetting ``t`` to 0 makes the element rebuild from position 0
+        (Performer state entries are overwritten via the masked update from
+        a zeroed read path; GPT-2 simply overwrites cache slots before
+        attending to them)."""
         B = self.batch
-        assert len(primers) == B and len(lead_sheet_bars) == B
+        zi = jnp.zeros((), jnp.int32)
+        out_row = jnp.zeros((self.max_events + 8,), jnp.int32)
+        out_row = jax.lax.dynamic_update_slice(out_row, primer, (0,))
+        upd = dict(
+            inj_tokens=s['inj_tokens'].at[slot].set(inj_tokens),
+            inj_segs=s['inj_segs'].at[slot].set(inj_segs),
+            inj_len=s['inj_len'].at[slot].set(inj_len),
+            primer=s['primer'].at[slot].set(primer),
+            primer_len=s['primer_len'].at[slot].set(primer_len),
+            target_bars=s['target_bars'].at[slot].set(target_bars),
+            out=s['out'].at[slot].set(out_row),
+            out_segs=s['out_segs'].at[slot].set(0),
+            need_re=s['need_re'].at[slot].set(False),
+            reanchors=s['reanchors'].at[slot].set(zi),
+            logits=s['logits'].at[slot].set(0.0),
+            t=s['t'].at[slot].set(zi),
+            out_len=s['out_len'].at[slot].set(primer_len),
+            mode=s['mode'].at[slot].set(MODE_INJECT),
+            primer_pos=s['primer_pos'].at[slot].set(zi),
+            in_primer=s['in_primer'].at[slot].set(True),
+            bars=s['bars'].at[slot].set(zi),
+            inj_pos=s['inj_pos'].at[slot].set(zi),
+            cur_pos=s['cur_pos'].at[slot].set(zi),
+            failed=s['failed'].at[slot].set(zi),
+            rejects=s['rejects'].at[slot].set(zi),
+            esteps=s['esteps'].at[slot].set(zi),
+            status=s['status'].at[slot].set(STATUS_RUNNING),
+        )
+        if self.is_performer:
+            # zero the slot's FAVOR (S, z): the masked update path ADDS to
+            # the carried accumulators, so stale state must not leak into
+            # the next job.  S/z are [n_layer, B, ...] — batch is axis 1.
+            # (GPT-2 needs no clear: its cache positions >= the reset t=0
+            # are overwritten before they are attended to.)
+            keep = (jnp.arange(B) != slot).reshape((1, B))
+            upd['state'] = jax.tree_util.tree_map(
+                lambda a: a * keep.reshape(
+                    (1, B) + (1,) * (a.ndim - 2)).astype(a.dtype), s['state'])
+        return dict(s, **upd)
+
+    def _idle_slot(self, s, slot):
+        return dict(s, status=s['status'].at[slot].set(STATUS_IDLE))
+
+    def _prep_jobs(self, primers, lead_sheet_bars, max_bars):
+        """Pack N jobs into padded arrays [N, ...] (N need not equal B)."""
+        N = len(primers)
         track_full = self.vocab.event2idx['Track_Full']
         track_lead = self.vocab.event2idx['Track_LeadSheet']
 
         # static injection-matrix shape so the loop compiles once per batch
         n_bars_max = self.max_bars
         assert max(len(bars) for bars in lead_sheet_bars) <= n_bars_max
-        inj_tokens = np.zeros((B, n_bars_max, self.max_bar_tokens), np.int32)
-        inj_segs = np.zeros((B, n_bars_max, self.max_bar_tokens), np.int32)
-        inj_len = np.zeros((B, n_bars_max), np.int32)
-        target_bars = np.zeros(B, np.int32)
+        inj_tokens = np.zeros((N, n_bars_max, self.max_bar_tokens), np.int32)
+        inj_segs = np.zeros((N, n_bars_max, self.max_bar_tokens), np.int32)
+        inj_len = np.zeros((N, n_bars_max), np.int32)
+        target_bars = np.zeros(N, np.int32)
         prim_rows = []
         for b, (primer, bars) in enumerate(zip(primers, lead_sheet_bars)):
             tb = len(bars) if max_bars is None else min(max_bars, len(bars))
@@ -362,12 +458,27 @@ class Stage2BatchGenerator:
             # injection row follows; all appear in the output stream
             prim_rows.append(list(primer) + [track_lead])
 
-        pmax = max(16, max(len(p) for p in prim_rows))   # static primer pad
-        primer_arr = np.zeros((B, pmax), np.int32)
-        primer_len = np.zeros(B, np.int32)
+        # static primer pad, bucketed to 16 to bound serve() recompiles
+        pmax = max(16, -(-max(len(p) for p in prim_rows) // 16) * 16)
+        primer_arr = np.zeros((N, pmax), np.int32)
+        primer_len = np.zeros(N, np.int32)
         for b, p in enumerate(prim_rows):
             primer_arr[b, :len(p)] = p
             primer_len[b] = len(p)
+        return (inj_tokens, inj_segs, inj_len, primer_arr, primer_len,
+                target_bars)
+
+    def generate(self, primers: Sequence[Sequence[int]],
+                 lead_sheet_bars: Sequence[List[List[int]]], *,
+                 seed: int = 0, max_bars: Optional[int] = None,
+                 ) -> Tuple[List[List[int]], dict]:
+        """primers: B token lists; lead_sheet_bars: B lists of per-bar token
+        lists.  Returns B token streams (each dropping its final token, as
+        the reference does)."""
+        B = self.batch
+        assert len(primers) == B and len(lead_sheet_bars) == B
+        (inj_tokens, inj_segs, inj_len, primer_arr, primer_len,
+         target_bars) = self._prep_jobs(primers, lead_sheet_bars, max_bars)
 
         t0 = time.time()
         out, out_len, status, bars, reanchors, rejects = self._loop(
@@ -391,4 +502,115 @@ class Stage2BatchGenerator:
                  'events': out_len.tolist(),
                  'reanchors': np.asarray(reanchors).tolist(),
                  'rejects': np.asarray(rejects).tolist()}
+        return streams, stats
+
+    def serve(self, primers: Sequence[Sequence[int]],
+              lead_sheet_bars: Sequence[List[List[int]]], *,
+              seed: int = 0, max_bars: Optional[int] = None,
+              ) -> Tuple[List[List[int]], dict]:
+        """Continuous batching: N jobs stream through the B device slots.
+
+        The lockstep ``generate`` waits for the LONGEST song in every wave —
+        e2e measurements show songs finishing anywhere between tens and
+        hundreds of events apart, so short songs idle their slot.  Here the
+        compiled loop hands control back to the host the moment any slot's
+        song terminates; the host harvests it and re-arms the slot with the
+        next queued job via a tiny jitted in-place update (no recompile, no
+        wave barrier).  The reference's serving loop processes one file at a
+        time (``stage2_accompaniment/inference.py:422-485``); this replaces
+        both that and round-3's lockstep waves.
+
+        Same per-song semantics and sampling stream discipline as
+        ``generate`` (each job consumes splits from the shared chain in slot
+        completion order, so token streams differ from lockstep runs of the
+        same seed — all are valid reference-semantics samples).
+
+        Returns (streams, stats) in submission order; ``stats`` carries the
+        per-job fields of ``generate`` plus ``wall_seconds`` and ``chunks``
+        (host refill round-trips)."""
+        N = len(primers)
+        assert len(lead_sheet_bars) == N
+        B = self.batch
+        if N == 0:
+            return [], {'wall_seconds': 0.0, 'chunks': 0, 'status': [],
+                        'bars': [], 'events': [], 'reanchors': [],
+                        'rejects': [], 'seconds': 0.0}
+        (inj_tokens, inj_segs, inj_len, primer_arr, primer_len,
+         target_bars) = self._prep_jobs(primers, lead_sheet_bars, max_bars)
+
+        t0 = time.time()
+        first = min(B, N)
+        fill = list(range(first)) + [0] * (B - first)   # extras idled below
+        s = self._initj(jnp.asarray(inj_tokens[fill]),
+                        jnp.asarray(inj_segs[fill]),
+                        jnp.asarray(inj_len[fill]),
+                        jnp.asarray(primer_arr[fill]),
+                        jnp.asarray(primer_len[fill]),
+                        jnp.asarray(target_bars[fill]),
+                        jax.random.PRNGKey(seed))
+        slot_job: List[Optional[int]] = list(range(first)) + [None] * (B - first)
+        for b in range(first, B):
+            s = self._idle(s, np.int32(b))
+        next_job = first
+
+        streams: List[Optional[List[int]]] = [None] * N
+        status_out = [0] * N
+        bars_out = [0] * N
+        events_out = [0] * N
+        reanchors_out = [0] * N
+        rejects_out = [0] * N
+        chunks = 0
+
+        while True:
+            status = np.asarray(s['status'])
+            if not (status == STATUS_RUNNING).any():
+                break
+            s = self._chunk(s)
+            chunks += 1
+            status = np.asarray(s['status'])
+            finished = [b for b in range(B)
+                        if slot_job[b] is not None
+                        and status[b] not in (STATUS_RUNNING, STATUS_IDLE)]
+            if not finished:
+                continue
+            # harvest BEFORE re-arming: _reset/_idle donate s.  One whole-
+            # matrix transfer (not per-slot device slices: a distinct-index
+            # slice would compile its own tiny executable through the relay)
+            out_len = np.asarray(s['out_len'])
+            bars_v = np.asarray(s['bars'])
+            rean_v = np.asarray(s['reanchors'])
+            rej_v = np.asarray(s['rejects'])
+            out_np = np.asarray(s['out'])
+            for b in finished:
+                j = slot_job[b]
+                toks = out_np[b, :out_len[b]].tolist()
+                # reference semantics: a stuck model returns the full
+                # partial stream; others drop the final token
+                streams[j] = toks if status[b] == STATUS_STUCK else toks[:-1]
+                status_out[j] = int(status[b])
+                bars_out[j] = int(bars_v[b])
+                events_out[j] = int(out_len[b])
+                reanchors_out[j] = int(rean_v[b])
+                rejects_out[j] = int(rej_v[b])
+            for b in finished:
+                if next_job < N:
+                    j = next_job
+                    s = self._reset(s, np.int32(b),
+                                    jnp.asarray(inj_tokens[j]),
+                                    jnp.asarray(inj_segs[j]),
+                                    jnp.asarray(inj_len[j]),
+                                    jnp.asarray(primer_arr[j]),
+                                    np.int32(primer_len[j]),
+                                    np.int32(target_bars[j]))
+                    slot_job[b] = j
+                    next_job += 1
+                else:
+                    s = self._idle(s, np.int32(b))
+                    slot_job[b] = None
+
+        secs = time.time() - t0
+        stats = {'seconds': secs, 'wall_seconds': secs, 'chunks': chunks,
+                 'status': status_out, 'bars': bars_out,
+                 'events': events_out, 'reanchors': reanchors_out,
+                 'rejects': rejects_out}
         return streams, stats

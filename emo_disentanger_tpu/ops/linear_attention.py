@@ -22,6 +22,7 @@ for k), so every implementation computes the same function.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -30,6 +31,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 EPS = 1e-6
+
+
+def _interpret() -> bool:
+    """EMODIS_PALLAS_INTERPRET=1 runs every Pallas kernel in interpret mode
+    (and enables the Pallas paths off-TPU), so the kernels' exact numerics
+    — including the bf16 dot-operand economy under bf16 compute — are
+    testable on the CPU suite (advisor r3)."""
+    return os.environ.get('EMODIS_PALLAS_INTERPRET', '0') == '1'
+
+
+def _pallas_call(*args, **kwargs):
+    return pl.pallas_call(*args, interpret=_interpret(), **kwargs)
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +213,7 @@ def _pallas_impl(phi_q: jax.Array, phi_k: jax.Array, v: jax.Array,
     grid = (bh // gb, L // chunk)
     blk = lambda _c: pl.BlockSpec((gb, chunk, _c), lambda i, j: (i, j, 0),
                                   memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_pallas_kernel, chunk=chunk, eps=eps),
         grid=grid,
         in_specs=[blk(M), blk(M), blk(Dv)],
@@ -337,7 +350,7 @@ def _pallas_bwd(phi_q, phi_k, v, g, chunk: int, eps: float):
         (gb, chunk, c), lambda i, j: (i, L // chunk - 1 - j, 0),
         memory_space=pltpu.VMEM)
 
-    dq, u, w = pl.pallas_call(
+    dq, u, w = _pallas_call(
         functools.partial(_bwd_a_kernel, chunk=chunk, eps=eps),
         grid=grid,
         in_specs=[blk(M), blk(M), blk(Dv), blk(Dv)],
@@ -351,7 +364,7 @@ def _pallas_bwd(phi_q, phi_k, v, g, chunk: int, eps: float):
             dimension_semantics=('arbitrary', 'arbitrary')),
     )(phi_q, phi_k, v, g)
 
-    dk, dv = pl.pallas_call(
+    dk, dv = _pallas_call(
         functools.partial(_bwd_b_kernel, chunk=chunk),
         grid=grid,
         in_specs=[blk_rev(M), blk_rev(M), blk_rev(Dv), blk_rev(Dv), blk_rev(1)],
@@ -372,7 +385,7 @@ def _pallas_bwd(phi_q, phi_k, v, g, chunk: int, eps: float):
 # ---------------------------------------------------------------------------
 
 def _use_pallas() -> bool:
-    return jax.default_backend() == 'tpu'
+    return jax.default_backend() == 'tpu' or _interpret()
 
 
 def _padded_call(impl, phi_q, phi_k, v, chunk, eps):
@@ -684,16 +697,13 @@ def _fused_bwd_b_kernel(q_ref, k_ref, v_ref, uw_ref, m_ref, omega_ref,
     rr_scratch[...] = r + jnp.sum(w * q, axis=1, keepdims=True)
 
 
-import os as _os
-
-
 def _fused_group_size(bh: int):
     """Group size for the fused kernels: the m-stabilizer tile [gb, 128]
     needs gb divisible by 8 or equal to bh (Mosaic block-shape rule).
     Returns None when no valid grouping exists (caller falls back to the
     unfused composition)."""
     try:
-        want = int(_os.environ.get('EMODIS_FUSED_GB', '8'))
+        want = int(os.environ.get('EMODIS_FUSED_GB', '8'))
     except ValueError:
         want = 8
     if want > 0 and bh % want == 0 and want % 8 == 0:
@@ -724,7 +734,7 @@ def _fused_key_max(k2, omega, chunk, scale):
     bh, L, Dh = k2.shape
     M = omega.shape[-1]
     gb, grid, blk, _, m_blk, omega_blk = _fused_specs(bh, L, Dh, M, Dh, chunk)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_kmax_kernel, scale=scale),
         grid=grid,
         in_specs=[blk(Dh), omega_blk],
@@ -750,7 +760,7 @@ def _fused_fwd_impl(q2, k2, v2, omega, chunk, eps):
     scale = Dh ** -0.25
     m = _fused_key_max(k2, omega, chunk, scale)
     gb, grid, blk, _, m_blk, omega_blk = _fused_specs(bh, L, Dh, M, Dv, chunk)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_fused_fwd_kernel, chunk=chunk, scale=scale, eps=eps,
                           dot_dtype=_dot_dtype_for(q2)),
         grid=grid,
@@ -776,7 +786,7 @@ def _fused_bwd_impl(q2, k2, v2, g2, omega, chunk, eps):
 
     UW = -(-(Dv + 1) // 128) * 128        # lane-dense (u, w) pack width
     uw_dtype = _dot_dtype_for(q2)         # bf16 residual under bf16 compute
-    dq, uw = pl.pallas_call(
+    dq, uw = _pallas_call(
         functools.partial(_fused_bwd_a_kernel, chunk=chunk, scale=scale,
                           eps=eps, dot_dtype=_dot_dtype_for(q2)),
         grid=grid,
@@ -790,7 +800,7 @@ def _fused_bwd_impl(q2, k2, v2, g2, omega, chunk, eps):
             dimension_semantics=('arbitrary', 'arbitrary')),
     )(q2, k2, v2, g2, m, omega)
 
-    dk, dv = pl.pallas_call(
+    dk, dv = _pallas_call(
         functools.partial(_fused_bwd_b_kernel, chunk=chunk, scale=scale,
                           dot_dtype=_dot_dtype_for(q2)),
         grid=grid,
@@ -1170,7 +1180,7 @@ def _hl_key_max(k2, omega, chunk, scale, n_head, gb):
     B, L, D = k2.shape
     M = omega.shape[-1]
     grid, blk, _, m_blk, omega_blk = _hl_specs(B, L, D, n_head, M, chunk, gb)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_kmax_kernel_hl, chunk=chunk, scale=scale,
                           n_head=n_head),
         grid=grid,
@@ -1195,7 +1205,7 @@ def _hl_fwd_impl(q2, k2, v2, omega, chunk, eps, n_head):
     gb = _hl_group(B, row_bytes, scratch_row)
     m = _hl_key_max(k2, omega, chunk, scale, H, gb)
     grid, blk, _, m_blk, omega_blk = _hl_specs(B, L, D, H, M, chunk, gb)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_fused_fwd_kernel_hl, chunk=chunk, scale=scale,
                           eps=eps, n_head=H, dot_dtype=_dot_dtype_for(q2)),
         grid=grid,
@@ -1226,7 +1236,7 @@ def _hl_bwd_impl(q2, k2, v2, g2, omega, chunk, eps, n_head):
     m = _hl_key_max(k2, omega, chunk, scale, H, gb)
     grid, blk, blk_rev, m_blk, omega_blk = _hl_specs(B, L, D, H, M, chunk, gb)
 
-    dq, uw = pl.pallas_call(
+    dq, uw = _pallas_call(
         functools.partial(_fused_bwd_a_kernel_hl, chunk=chunk, scale=scale,
                           eps=eps, n_head=H, dot_dtype=_dot_dtype_for(q2)),
         grid=grid,
@@ -1240,7 +1250,7 @@ def _hl_bwd_impl(q2, k2, v2, g2, omega, chunk, eps, n_head):
             dimension_semantics=('arbitrary', 'arbitrary')),
     )(q2, k2, v2, g2, m, omega)
 
-    dk, dv = pl.pallas_call(
+    dk, dv = _pallas_call(
         functools.partial(_fused_bwd_b_kernel_hl, chunk=chunk, scale=scale,
                           n_head=H, dot_dtype=_dot_dtype_for(q2)),
         grid=grid,
@@ -1278,6 +1288,15 @@ def favor_causal_attention_heads_last(q: jax.Array, k: jax.Array,
     gradient is zero."""
     if not _use_pallas():
         return _hl_compose(q, k, v, omega, chunk, eps, n_head)
+    # the heads-last kernels store the per-head key-max stabilizer in one
+    # 128-lane tile ([gb, H, 128] block, kmax[:, :, :M] slice); M > 128
+    # would need a multi-tile m block — guard with a clear error instead of
+    # a Mosaic shape mismatch at trace time (advisor r3)
+    if omega.shape[-1] > 128:
+        raise NotImplementedError(
+            f'heads-last Pallas kernels support favor_dims <= 128 (got '
+            f'{omega.shape[-1]}); use favor_causal_attention or the '
+            f'composed path')
     B, L, D = q.shape
     pad = (-L) % chunk
     if pad:

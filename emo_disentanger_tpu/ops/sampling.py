@@ -29,6 +29,11 @@ def nucleus_sample(key: jax.Array, logits: jax.Array, temperature: float,
                    top_p: float, forbid: Optional[jax.Array] = None) -> jax.Array:
     """Sample one token id from logits [V] (jit-safe, static V).
 
+    ``temperature``/``top_p`` may be Python floats or traced scalars —
+    per-element sampling params under vmap cost nothing extra, letting a
+    batched decode loop with mixed regimes (e.g. stage-1's key step vs main
+    step) share ONE sort instead of sampling twice and selecting.
+
     ``forbid``: optional bool mask [V]; True entries are excluded before the
     softmax (the reference subtracts inf from inadmissible tempo logits,
     ``stage2_accompaniment/inference.py:71-73``).

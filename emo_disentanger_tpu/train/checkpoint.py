@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import warnings
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -100,6 +101,7 @@ def gc_checkpoints(ckpt_dir: str, keep_last: int,
     if keep_best and entries:
         protect.add(min(entries, key=lambda e: e[1])[2])
     deleted = []
+    failed = []
     for _, _, name in entries:
         if name not in protect:
             path = os.path.join(ckpt_dir, name)
@@ -113,8 +115,14 @@ def gc_checkpoints(ckpt_dir: str, keep_last: int,
                     os.remove(path)
             except OSError:
                 pass
-            if not os.path.exists(path):
+            if os.path.exists(path):
+                failed.append(path)   # e.g. rmtree died midway
+            else:
                 deleted.append(path)
+    if failed:
+        # observable, non-fatal: GC runs inside the training loop
+        warnings.warn('checkpoint GC could not remove: '
+                      + ', '.join(failed), RuntimeWarning)
     return deleted
 
 

@@ -22,13 +22,34 @@ jax.config.update('jax_compilation_cache_dir',
                   os.environ['JAX_COMPILATION_CACHE_DIR'])
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
 
+import time  # noqa: E402
+
 import pytest  # noqa: E402
+
+# suite wall-time budget (VERDICT r3 #8): the suite runs ~6 min warm-cache
+# on this 1-core container; fail loudly if it regresses past the budget so
+# slow tests are caught at the round they land.  Override for cold-cache /
+# shared-host runs via EMODIS_SUITE_BUDGET_SECS (0 disables).
+_SUITE_BUDGET = float(os.environ.get('EMODIS_SUITE_BUDGET_SECS', '720'))
+_suite_t0 = time.monotonic()
 
 
 def pytest_configure(config):
     config.addinivalue_line(
         'markers', 'slow: multi-process recipe smokes (deselect with '
         '-m "not slow")')
+
+
+def pytest_sessionfinish(session, exitstatus):
+    elapsed = time.monotonic() - _suite_t0
+    # only enforce on passing full-suite runs — file/keyword selections and
+    # early-exit partial runs are not comparable to the budget
+    full_run = (exitstatus == 0 and session.testscollected > 150)
+    if _SUITE_BUDGET and full_run and elapsed > _SUITE_BUDGET:
+        print(f'\nERROR: suite wall time {elapsed:.0f}s exceeds the '
+              f'{_SUITE_BUDGET:.0f}s budget (EMODIS_SUITE_BUDGET_SECS); '
+              'a test regressed the compile/runtime budget')
+        session.exitstatus = 1
 
 
 @pytest.fixture(scope='session')

@@ -38,6 +38,16 @@ def test_dryrun_multichip_self_provisions_from_one_device():
                           capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert 'ok on 8 devices' in proc.stdout
+    # the LAST stdout line must be the one-line JSON summary (the driver's
+    # 2000-char tail can drown the per-leg lines in rendezvous warnings)
+    import json
+    last = proc.stdout.strip().splitlines()[-1]
+    summary = json.loads(last)
+    assert summary['dryrun_multichip'] == 'ok'
+    assert summary['n_devices'] == 8
+    # TOY_ONLY runs only the toy dp leg; the driver's full dryrun adds
+    # dp_x_tp and the production-shape legs
+    assert [leg['leg'] for leg in summary['legs']] == ['dp']
 
 
 def test_dryrun_multichip_direct_on_provisioned_mesh():

@@ -181,6 +181,47 @@ def test_fused_omega_gradient_is_zero(rng_key):
     np.testing.assert_array_equal(np.asarray(g), 0.0)
 
 
+def test_fused_bf16_dot_economy_interpret(rng_key, monkeypatch):
+    """The PRODUCTION train-path numerics: under bf16 compute the fused
+    kernels switch dot operands (and the uw backward residual) to bf16
+    (``_dot_dtype_for``), a tradeoff previously pinned only by on-chip
+    loss curves.  Run the real Pallas fwd+bwd kernels in interpret mode
+    with bf16 inputs and bound fwd/grad drift against the f32 composition
+    (advisor r3)."""
+    monkeypatch.setenv('EMODIS_PALLAS_INTERPRET', '1')
+    q, k, v = _random_qkv(rng_key, B=1, H=2, L=64, Dh=8, Dv=8)
+    omega = draw_orthogonal_features(jax.random.PRNGKey(5), 8, 16)
+
+    def loss_kernel(q_, k_, v_):
+        out = favor_causal_attention(q_.astype(jnp.bfloat16),
+                                     k_.astype(jnp.bfloat16),
+                                     v_.astype(jnp.bfloat16),
+                                     omega.astype(jnp.bfloat16), 32)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_composed(q_, k_, v_):
+        phi_q = favor_features(q_, omega, is_query=True)
+        phi_k = favor_features(k_, omega, is_query=False)
+        return jnp.sum(causal_linear_attention_ref(phi_q, phi_k, v_) ** 2)
+
+    # the interpret-mode kernel really ran with bf16 dot operands: assert
+    # the selected dtype to guard against a silent f32 fallback
+    from emo_disentanger_tpu.ops.linear_attention import (
+        _dot_dtype_for, _use_pallas)
+    assert _use_pallas()
+    assert _dot_dtype_for(jnp.zeros((1,), jnp.bfloat16)) == jnp.bfloat16
+
+    out_k, g_k = jax.value_and_grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    out_c, g_c = jax.value_and_grad(loss_composed, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(out_k), float(out_c), rtol=3e-2)
+    for a, b in zip(g_k, g_c):
+        a = np.asarray(a, dtype=np.float32)
+        b = np.asarray(b, dtype=np.float32)
+        # bf16 operands: elementwise relative error bounded vs the grad scale
+        denom = np.maximum(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() / denom < 6e-2
+
+
 def test_fused_decode_layer_matches_composed(rng_key):
     """The whole-layer fused decode kernel (interpret mode on CPU) must
     reproduce the composed decode_step (projections + favor_features +

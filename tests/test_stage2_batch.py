@@ -167,3 +167,109 @@ def test_batched_gpt2_matches_singlepos_decode():
                                   method=MusicGPT2.decode_step_batchpos)
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=2e-4, atol=2e-4)
+
+
+def _tiny_performer_gen(vocab, B, max_events=150):
+    small = dict(n_layer=2, n_head=2, d_model=32, d_ff=64, d_embed=32,
+                 dropout=0.0)
+    model = MusicPerformer(n_token=vocab.size, favor_dims=16, **small)
+    omegas = model.draw_omegas(jax.random.PRNGKey(5))
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        omegas, jnp.zeros((1, 8), jnp.int32))
+    return Stage2BatchGenerator(model, params, vocab, batch=B, temp=1.1,
+                                top_p=0.99, max_events=max_events,
+                                max_bar_tokens=32, omegas=omegas)
+
+
+def test_serve_continuous_batching_refills():
+    """serve(): N > B jobs stream through B slots with refill-on-finish;
+    every job completes with the same per-stream structure guarantees as
+    the lockstep generate."""
+    vocab = tiny_vocab2()
+    B, N = 2, 5
+    gen = _tiny_performer_gen(vocab, B)
+    bar = [vocab.event2idx[e] for e in
+           ['Bar_None', 'Beat_0', 'Chord_I_M', 'Note_Octave_5',
+            'Note_Degree_I', 'Note_Duration_480']]
+    primer_q1 = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
+                 vocab.event2idx['Tempo_110']]
+    primer_q2 = [vocab.event2idx['Emotion_Q2'], vocab.event2idx['Key_c'],
+                 vocab.event2idx['Tempo_110']]
+    primers = [primer_q1 if i % 2 == 0 else primer_q2 for i in range(N)]
+    bars_per = [[list(bar)] * (2 + i % 2) for i in range(N)]
+
+    streams, stats = gen.serve(primers, bars_per, seed=3)
+    assert len(streams) == N
+    assert stats['chunks'] >= -(-N // B)        # at least N/B refill exits
+    from emo_disentanger_tpu.infer import stage2_batch as s2b
+    for j, stream in enumerate(streams):
+        assert stream is not None, f'job {j} never completed'
+        assert stats['status'][j] in (s2b.STATUS_DONE_BARS, s2b.STATUS_EOS,
+                                      s2b.STATUS_MAX, s2b.STATUS_STUCK)
+        evs = vocab.decode(stream)
+        assert evs[:3] == vocab.decode(primers[j])
+        assert evs[3] == 'Track_LeadSheet'
+        bar_evs = vocab.decode(bars_per[j][0])
+        assert evs[4:4 + len(bar_evs)] == bar_evs
+        assert evs[4 + len(bar_evs)] == 'Track_Full'
+        assert 'PAD_None' not in evs
+        if stats['status'][j] == s2b.STATUS_DONE_BARS:
+            assert stats['bars'][j] == len(bars_per[j])
+
+    # deterministic under the same seed (finish order is deterministic)
+    streams2, _ = gen.serve(primers, bars_per, seed=3)
+    assert streams == streams2
+
+    # N == B degenerates to one wave, still correct
+    streams3, stats3 = gen.serve(primers[:B], bars_per[:B], seed=3)
+    assert all(st is not None for st in streams3)
+
+    # N < B leaves idle slots without hanging
+    streams4, _ = gen.serve(primers[:1], bars_per[:1], seed=3)
+    assert len(streams4) == 1 and streams4[0] is not None
+
+
+def test_serve_reset_slot_restores_fresh_state():
+    """_reset_slot must fully re-arm a slot: counters/out equal a fresh
+    init and the slot's FAVOR (S, z) accumulators are zeroed (the masked
+    update ADDS, so stale state would corrupt the next job)."""
+    vocab = tiny_vocab2()
+    B = 2
+    gen = _tiny_performer_gen(vocab, B, max_events=60)
+    bar = [vocab.event2idx[e] for e in
+           ['Bar_None', 'Beat_0', 'Chord_I_M', 'Note_Octave_5',
+            'Note_Degree_I', 'Note_Duration_480']]
+    primer = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
+              vocab.event2idx['Tempo_110']]
+    jobs = gen._prep_jobs([primer] * B, [[list(bar)] * 2] * B, None)
+    inj_t, inj_s, inj_l, prim, plen, tbars = jobs
+
+    fresh = gen._initj(jnp.asarray(inj_t), jnp.asarray(inj_s),
+                       jnp.asarray(inj_l), jnp.asarray(prim),
+                       jnp.asarray(plen), jnp.asarray(tbars),
+                       jax.random.PRNGKey(7))
+    fresh_np = {k: np.asarray(v) for k, v in fresh.items()
+                if k not in ('state', 'rng')}
+    fresh_S = np.asarray(fresh['state']['S'])
+
+    s = gen._initj(jnp.asarray(inj_t), jnp.asarray(inj_s),
+                   jnp.asarray(inj_l), jnp.asarray(prim),
+                   jnp.asarray(plen), jnp.asarray(tbars),
+                   jax.random.PRNGKey(7))
+    s = gen._chunk(s)          # run until someone finishes: state now dirty
+    assert np.asarray(s['out_len']).max() > plen.max()
+
+    s = gen._reset(s, np.int32(0), jnp.asarray(inj_t[0]),
+                   jnp.asarray(inj_s[0]), jnp.asarray(inj_l[0]),
+                   jnp.asarray(prim[0]), np.int32(plen[0]),
+                   np.int32(tbars[0]))
+    for k, want in fresh_np.items():
+        if k in ('iters',):
+            continue
+        got = np.asarray(s[k])
+        np.testing.assert_array_equal(
+            got[0], want[0], err_msg=f'slot-0 field {k} not reset')
+    # FAVOR accumulators zeroed on the reset slot only (batch axis 1)
+    S = np.asarray(s['state']['S'])
+    assert np.all(S[:, 0] == 0.0)
+    assert fresh_S.shape == S.shape
