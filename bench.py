@@ -25,7 +25,11 @@ line before it.  Three layers of protection:
   3. SIGTERM/SIGINT print the cumulative result line before exiting — the
      driver's ``timeout`` sends SIGTERM first, and the driver parses the
      last JSON line of the stdout tail, so even a driver-level timeout
-     (rc=124) still certifies whatever ran.
+     (rc=124) still certifies whatever ran;
+  4. failed extras get ONE budget-permitting retry in another fresh
+     process after the plan completes (relay compile latency varies
+     230s->480s+ between processes for the same sub, so retrying beats
+     raising caps).
 
 The fresh-subprocess rule also keeps the round-2 robustness contract: a
 crashed remote-compile subprocess can leave the parent JAX client in a
@@ -375,6 +379,25 @@ def main():
         sub, err, elapsed = run_sub(name, min(float(cap), budget))
         _record(name, sub, err, elapsed)
         if sub is not None:
+            RESULT['extra'].update(extract(sub))
+            _write_progress()
+
+    # ---- budget-permitting second pass over failed extras.  Remote-compile
+    # latency varies wildly BETWEEN fresh processes for the same sub (230s
+    # vs >480s measured, CLAUDE.md), so the fix for a timeout is another
+    # fresh process, not a longer cap.
+    for name, cap, min_secs, extract in plan:
+        if name not in RESULT.get('errors', {}):
+            continue
+        budget = _remaining()
+        if budget < min_secs:
+            RESULT['skipped'].append(f'{name}_retry')
+            _write_progress()
+            continue
+        sub, err, elapsed = run_sub(name, min(float(cap), budget))
+        _record(f'{name}_retry', sub, err, elapsed)
+        if sub is not None:
+            RESULT['errors'].pop(name, None)
             RESULT['extra'].update(extract(sub))
             _write_progress()
 

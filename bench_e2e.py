@@ -246,9 +246,13 @@ def measure(gen1, gen2, vocab, root, tag, n_files=None, s1_batch=None,
         assert 2 * warm_files > s2_batch, \
             'serve warmup needs jobs > slots to compile the refill path'
     warm_dir = os.path.join(root, 'warm_' + tag)
-    files, _, _ = stage1_to_files(gen1, vocab, warm_dir, seed=100,
+    # warmup reuses the measured pass's seeds: the stage-1 tiered-Kmax
+    # ladder compiles continuation tiers lazily on first spill, so an
+    # identical-seed warmup guarantees the timed pass never pays a
+    # tier compile (shared-prefix batches are bitwise the same runs)
+    files, _, _ = stage1_to_files(gen1, vocab, warm_dir, seed=0,
                                   n_files=warm_files, s1_batch=s1_batch)
-    stage2_render(gen2, vocab, files[:warm_files], warm_dir, seed=101,
+    stage2_render(gen2, vocab, files[:warm_files], warm_dir, seed=1,
                   s2_batch=s2_batch, s2_bars=s2_bars, use_serve=use_serve)
 
     out_dir = os.path.join(root, 'gen_' + tag)

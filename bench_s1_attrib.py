@@ -104,13 +104,16 @@ def scan_decode(model, params, cache_len, n_samples):
     return dt / STEPS * 1e3         # ms per loop step (B tokens each)
 
 
-def full_loop(model, params, vocab, reject_slack):
+def full_loop(model, params, vocab, reject_slack, fast_slack=None):
     from emo_disentanger_tpu.infer.stage1_batch import Stage1BatchGenerator
     gen = Stage1BatchGenerator(model, params, vocab, batch=BATCH,
                                max_events=MAX_EVENTS, max_bars=64,
-                               functional=True, reject_slack=reject_slack)
+                               functional=True, reject_slack=reject_slack,
+                               fast_slack=fast_slack)
     emos = (['Q1', 'Q2', 'Q3', 'Q4'] * ((BATCH + 3) // 4))[:BATCH]
-    gen.generate(emos, seed=1)                           # compile
+    # same seed as the timed run: compiles every ladder tier the timed
+    # run will spill into (tiers build lazily on first use)
+    gen.generate(emos, seed=2)                           # compile
     t0 = time.perf_counter()
     _, stats = gen.generate(emos, seed=2)
     dt = time.perf_counter() - t0
@@ -136,15 +139,17 @@ def main():
                           'ms_per_step': round(ms, 3),
                           'tokens_per_sec': round(BATCH / ms * 1e3, 1)}))
 
-    for name, slack in [('loop_full_K1536', 1024),
-                        ('loop_full_K768', 256)]:
-        ms, tps, stats = full_loop(model, params, vocab, slack)
+    for name, slack, fast in [('loop_full_K1536', 1024, None),
+                              ('loop_full_K768', 256, None),
+                              ('loop_tiered_768_1536', 1024, 256)]:
+        ms, tps, stats = full_loop(model, params, vocab, slack, fast)
         out[name] = ms
         print(json.dumps({
             'metric': f'stage1 attrib {name} (production while_loop, B=16)',
             'ms_per_step': round(ms, 3),
             'accepted_tokens_per_sec': round(tps, 1),
             'loop_tokens_per_sec': round(BATCH / ms * 1e3, 1),
+            'resumed': stats.get('resumed', 0),
             'reject_rate': round(sum(stats['rejects'])
                                  / max(sum(stats['events']), 1), 3)}))
 

@@ -98,3 +98,44 @@ def test_batched_stage1_prompt_mode():
                                  prompt_bars=[1, 1], target_bars=[3, 3],
                                  seed=9)
     assert s_def == s_exp and st_def['bars'] == st_exp['bars']
+
+
+def test_tiered_kmax_bitwise_equals_single_tier():
+    """The tiered-Kmax decode (small cache first, overflowed songs CONTINUE
+    in a full-Kmax loop from carried state) must be bitwise identical to
+    the single full-Kmax loop: the einsum masks positions > t, so logits
+    are Kmax-independent given the same history, and the rng stream rides
+    in the carry.  fast_slack=0 forces every non-trivial song through the
+    continuation tier (a 40-event song cannot finish within a 40-slot
+    cache once any sampling iteration is spent)."""
+    vocab = tiny_vocab2()
+    model = PlainTransformer(vocab_size=vocab.size, n_layer=2, n_head=2,
+                             d_model=32, d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(3), jnp.ones((1, 8), jnp.int32))
+
+    kw = dict(batch=4, temp=1.2, top_p=0.97, max_events=40, max_bars=8,
+              functional=True, reject_slack=128)
+    tiered = Stage1BatchGenerator(model, params, vocab, fast_slack=0, **kw)
+    single = Stage1BatchGenerator(model, params, vocab, fast_slack=None, **kw)
+    assert tiered._resume is not None and single._resume is None
+
+    emotions = ['Q1', 'Q2', 'Q1', 'Q2']
+    songs_t, stats_t = tiered.generate(emotions, seed=11)
+    songs_s, stats_s = single.generate(emotions, seed=11)
+    assert songs_t == songs_s
+    for k in ('status', 'bars', 'events', 'rejects'):
+        assert stats_t[k] == stats_s[k], k
+    # the continuation tier must actually have been exercised (otherwise
+    # this test proves nothing)
+    assert stats_t['resumed'] > 0
+    assert stats_s['resumed'] == 0
+
+    # a multi-rung ladder (two intermediate caches, both smaller than any
+    # finished song) must walk BOTH continuations and still match bitwise
+    ladder = Stage1BatchGenerator(model, params, vocab, tiers=[42, 64], **kw)
+    assert len(ladder._resumes) == 2
+    songs_l, stats_l = ladder.generate(emotions, seed=11)
+    assert songs_l == songs_s
+    for k in ('status', 'bars', 'events', 'rejects'):
+        assert stats_l[k] == stats_s[k], k
+    assert stats_l['resumed'] >= stats_t['resumed']
