@@ -283,11 +283,18 @@ def measure(gen1, gen2, vocab, root, tag, n_files=None, s1_batch=None,
 
 
 def quick_random(n_files=16, s1_batch=8, s2_batch=32, s2_events=S2_EVENTS,
-                 s2_bars=S2_BARS, s1_events=S1_EVENTS):
+                 s2_bars=S2_BARS, s1_events=S1_EVENTS, use_serve=False):
     """Time-boxed variant for the driver's bench.py budget: RANDOM weights
     only (the trained variant needs in-process training — builder-run in
     BENCH_e2e artifacts), one warmup + one measured pipeline pass at
-    stage-1 B=8 / stage-2 B=32.  Returns a plain dict (no printing)."""
+    stage-1 B=8 / stage-2 B=32.  Returns a plain dict (no printing).
+
+    Lockstep, not ``serve()``: under RANDOM weights every stage-2 song
+    runs to the same bar budget (no EOS), so there is no length variance
+    for refill to exploit and continuous batching is pure host-round-trip
+    overhead through the relay (measured round 4: 169 vs 277 songs/min).
+    ``serve()`` pays off only where song lengths vary — the trained-weights
+    legs in ``main()`` measure that comparison."""
     from helpers import write_stage1_corpus, write_stage2_corpus
     from emo_disentanger_tpu.infer.stage1_batch import Stage1BatchGenerator
     from emo_disentanger_tpu.infer.stage2_batch import Stage2BatchGenerator
@@ -309,10 +316,11 @@ def quick_random(n_files=16, s1_batch=8, s2_batch=32, s2_events=S2_EVENTS,
                                     max_bar_tokens=256, max_bars=s2_bars,
                                     omegas=omegas)
         res = measure(gen1, gen2, vocab, tmp, 'rand', n_files=n_files,
-                      s1_batch=s1_batch, s2_batch=s2_batch, s2_bars=s2_bars)
+                      s1_batch=s1_batch, s2_batch=s2_batch, s2_bars=s2_bars,
+                      use_serve=use_serve)
         return {'songs_per_min': res['value'], 'detail': res['detail'],
                 'config': {'s1_batch': s1_batch, 's2_batch': s2_batch,
-                           'weights': 'random',
+                           'weights': 'random', 'serve': use_serve,
                            's1_events': s1_events, 's2_events': s2_events}}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -117,8 +117,13 @@ def full_loop(model, params, vocab, reject_slack, fast_slack=None):
     t0 = time.perf_counter()
     _, stats = gen.generate(emos, seed=2)
     dt = time.perf_counter() - t0
-    steps = sum(stats['events']) + sum(stats['rejects'])
-    return (dt / (steps / BATCH) * 1e3,                  # ms per loop step
+    # TRUE device iterations (lockstep runs until the slowest element is
+    # done; mean productive steps understate per-iteration cost by the
+    # idle tail — that tail is the round-4 "residual" mystery, resolved)
+    iters = stats['iters']
+    productive = (sum(stats['events']) + sum(stats['rejects'])) / BATCH
+    stats['idle_frac'] = round(1.0 - productive / max(iters, 1), 3)
+    return (dt / max(iters, 1) * 1e3,                    # ms per loop step
             sum(stats['events']) / dt,                   # accepted tok/s
             stats)
 
@@ -150,6 +155,10 @@ def main():
             'accepted_tokens_per_sec': round(tps, 1),
             'loop_tokens_per_sec': round(BATCH / ms * 1e3, 1),
             'resumed': stats.get('resumed', 0),
+            'device_iters': stats['iters'],
+            # fraction of slot-steps spent on elements that already
+            # finished (or are re-feeding rejects): the lockstep tail
+            'idle_frac': stats['idle_frac'],
             'reject_rate': round(sum(stats['rejects'])
                                  / max(sum(stats['events']), 1), 3)}))
 

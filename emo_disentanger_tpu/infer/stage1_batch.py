@@ -331,5 +331,11 @@ class Stage1BatchGenerator:
                  'rejects': np.asarray(rejects).tolist(),
                  # songs that outgrew the fast cache and continued in the
                  # full-Kmax tier (0 when tiering is off or nothing spilled)
-                 'resumed': resumed}
+                 'resumed': resumed,
+                 # TOTAL device loop iterations across all ladder tiers
+                 # (iters rides the carry through resumes).  Lockstep runs
+                 # as many iterations as the SLOWEST element needs; mean
+                 # per-element productive steps understate per-iteration
+                 # cost by the idle tail (bench_s1_attrib divides by this)
+                 'iters': int(s['iters'])}
         return songs, stats

@@ -63,6 +63,7 @@ class Stage2BatchGenerator:
                  max_events: int = 10000, max_bar_tokens: int = 256,
                  max_bars: int = 128, gpt2_cache_len: int = 4096,
                  gpt2_window: int = 2048, reanchor_margin: int = 256,
+                 serve_chunk_steps: int = 192,
                  omegas: Optional[jax.Array] = None):
         self.is_performer = isinstance(model, MusicPerformer)
         if self.is_performer and omegas is None:
@@ -86,6 +87,7 @@ class Stage2BatchGenerator:
         self.max_events = max_events
         self.max_bar_tokens = max_bar_tokens
         self.max_bars = max_bars
+        self.serve_chunk_steps = serve_chunk_steps
         self.omegas = omegas
         self.tables = build_rule_tables(vocab)
         self._build_core()
@@ -95,6 +97,7 @@ class Stage2BatchGenerator:
         self._chunk = jax.jit(self._run_chunk, donate_argnums=0)
         self._reset = jax.jit(self._reset_slot, donate_argnums=0)
         self._idle = jax.jit(self._idle_slot, donate_argnums=0)
+        self._refill = jax.jit(self._reset_slots, donate_argnums=0)
 
     def _build_core(self):
         """Define the shared loop body over a state dict that CONTAINS the
@@ -356,18 +359,31 @@ class Stage2BatchGenerator:
                 s['reanchors'], s['rejects'])
 
     def _run_chunk(self, s):
-        """Run until ANY running element finishes (or nothing is running).
+        """Run until a slot finishes AND at least ``serve_chunk_steps``
+        device steps have elapsed (or nothing is left running).
 
-        The entry running-mask is captured inside the jit; the loop exits
-        the step an element's status leaves RUNNING, handing control back
-        to the host to harvest + refill that slot."""
+        The minimum-steps floor bounds the host round-trips: every hand-back
+        to the host costs a full relay dispatch latency plus the harvest
+        readback and refill upload, and exiting on EVERY finish made serve()
+        dispatch-bound (measured round 4: 96 jobs / 64 slots at 203
+        songs/min vs 480 lockstep — ~24 s of a 28 s wall in dispatches).
+        With the floor, a finished slot idles at most ``serve_chunk_steps``
+        steps (its rows are frozen by the body's status masks) and the
+        chunk count collapses to ~total_steps / floor."""
         entry = self._running(s)
+        floor = jnp.int32(self.serve_chunk_steps)
 
-        def cond(st):
+        def cond(carry):
+            st, i = carry
             run = self._running(st)
-            return jnp.any(run) & jnp.all(run == entry)
+            return jnp.any(run) & (jnp.all(run == entry) | (i < floor))
 
-        return jax.lax.while_loop(cond, self._body, s)
+        def body(carry):
+            st, i = carry
+            return self._body(st), i + 1
+
+        s, _ = jax.lax.while_loop(cond, body, (s, jnp.int32(0)))
+        return s
 
     def _reset_slot(self, s, slot, inj_tokens, inj_segs, inj_len, primer,
                     primer_len, target_bars):
@@ -422,6 +438,71 @@ class Stage2BatchGenerator:
 
     def _idle_slot(self, s, slot):
         return dict(s, status=s['status'].at[slot].set(STATUS_IDLE))
+
+    def _reset_slots(self, s, mask, idle_mask, inj_tokens, inj_segs,
+                     inj_len, primer, primer_len, target_bars):
+        """Masked batched refill: ONE dispatch re-arms every finished slot.
+
+        ``mask``/``idle_mask`` [B] bool; the job arrays are full B-shaped
+        (rows where ``mask`` is False are ignored).  Per-slot ``_reset_slot``
+        calls cost one relay dispatch each — with tens of finishes per
+        harvest that dominated serve() wall time (round-4 measurement); this
+        folds a whole harvest's refills plus queue-exhausted idling into a
+        single jitted update."""
+        B = self.batch
+
+        def w(field, new):
+            cur = s[field]
+            mm = mask.reshape((B,) + (1,) * (cur.ndim - 1))
+            return jnp.where(mm, new, cur)
+
+        zi = jnp.zeros((B,), jnp.int32)
+        plen = primer_len.astype(jnp.int32)
+        fresh_out = jnp.zeros((B, self.max_events + 8), jnp.int32)
+        fresh_out = jax.lax.dynamic_update_slice(fresh_out, primer, (0, 0))
+        upd = dict(
+            inj_tokens=w('inj_tokens', inj_tokens),
+            inj_segs=w('inj_segs', inj_segs),
+            inj_len=w('inj_len', inj_len),
+            primer=w('primer', primer),
+            primer_len=w('primer_len', plen),
+            target_bars=w('target_bars', target_bars),
+            out=w('out', fresh_out),
+            out_segs=w('out_segs', jnp.zeros_like(s['out_segs'])),
+            need_re=w('need_re', jnp.zeros_like(s['need_re'])),
+            reanchors=w('reanchors', zi),
+            logits=w('logits', jnp.zeros_like(s['logits'])),
+            t=w('t', zi),
+            out_len=w('out_len', plen),
+            mode=w('mode', jnp.full((B,), MODE_INJECT, jnp.int32)),
+            primer_pos=w('primer_pos', zi),
+            in_primer=w('in_primer', jnp.ones((B,), jnp.bool_)),
+            bars=w('bars', zi),
+            inj_pos=w('inj_pos', zi),
+            cur_pos=w('cur_pos', zi),
+            failed=w('failed', zi),
+            rejects=w('rejects', zi),
+            esteps=w('esteps', zi),
+            status=jnp.where(mask, STATUS_RUNNING,
+                             jnp.where(idle_mask, STATUS_IDLE, s['status'])),
+        )
+        if self.is_performer:
+            # zero refilled slots' FAVOR (S, z): the masked update path ADDS
+            # to the carried accumulators (batch is axis 1 of [n_layer,...])
+            keep = ~mask
+            upd['state'] = jax.tree_util.tree_map(
+                lambda a: a * keep.reshape(
+                    (1, B) + (1,) * (a.ndim - 2)).astype(a.dtype), s['state'])
+        return dict(s, **upd)
+
+    def _job_rows(self, inj_tokens, inj_segs, inj_len, primer_arr,
+                  primer_len, target_bars, rows):
+        """Gather B-shaped job arrays for ``_reset_slots`` (host-side numpy
+        fancy-index; rows of unmasked slots are ignored by the where)."""
+        r = np.asarray(rows)
+        return (jnp.asarray(inj_tokens[r]), jnp.asarray(inj_segs[r]),
+                jnp.asarray(inj_len[r]), jnp.asarray(primer_arr[r]),
+                jnp.asarray(primer_len[r]), jnp.asarray(target_bars[r]))
 
     def _prep_jobs(self, primers, lead_sheet_bars, max_bars):
         """Pack N jobs into padded arrays [N, ...] (N need not equal B)."""
@@ -549,8 +630,14 @@ class Stage2BatchGenerator:
                         jnp.asarray(target_bars[fill]),
                         jax.random.PRNGKey(seed))
         slot_job: List[Optional[int]] = list(range(first)) + [None] * (B - first)
-        for b in range(first, B):
-            s = self._idle(s, np.int32(b))
+        if first < B:
+            # one masked dispatch idles every unused slot
+            idle0 = np.zeros(B, bool)
+            idle0[first:] = True
+            s = self._refill(s, jnp.zeros(B, bool), jnp.asarray(idle0),
+                             *self._job_rows(inj_tokens, inj_segs, inj_len,
+                                             primer_arr, primer_len,
+                                             target_bars, [0] * B))
         next_job = first
 
         streams: List[Optional[List[int]]] = [None] * N
@@ -573,14 +660,12 @@ class Stage2BatchGenerator:
                         and status[b] not in (STATUS_RUNNING, STATUS_IDLE)]
             if not finished:
                 continue
-            # harvest BEFORE re-arming: _reset/_idle donate s.  One whole-
-            # matrix transfer (not per-slot device slices: a distinct-index
-            # slice would compile its own tiny executable through the relay)
-            out_len = np.asarray(s['out_len'])
-            bars_v = np.asarray(s['bars'])
-            rean_v = np.asarray(s['reanchors'])
-            rej_v = np.asarray(s['rejects'])
-            out_np = np.asarray(s['out'])
+            # harvest BEFORE re-arming: _refill donates s.  One bundled
+            # device_get (not per-slot device slices, and not five separate
+            # np.asarray round-trips: each readback pays relay latency)
+            (out_np, out_len, bars_v, rean_v, rej_v) = jax.device_get(
+                (s['out'], s['out_len'], s['bars'], s['reanchors'],
+                 s['rejects']))
             for b in finished:
                 j = slot_job[b]
                 toks = out_np[b, :out_len[b]].tolist()
@@ -592,21 +677,23 @@ class Stage2BatchGenerator:
                 events_out[j] = int(out_len[b])
                 reanchors_out[j] = int(rean_v[b])
                 rejects_out[j] = int(rej_v[b])
+            # one masked dispatch refills/idles the whole harvest
+            mask = np.zeros(B, bool)
+            idle = np.zeros(B, bool)
+            rows = [0] * B
             for b in finished:
                 if next_job < N:
-                    j = next_job
-                    s = self._reset(s, np.int32(b),
-                                    jnp.asarray(inj_tokens[j]),
-                                    jnp.asarray(inj_segs[j]),
-                                    jnp.asarray(inj_len[j]),
-                                    jnp.asarray(primer_arr[j]),
-                                    np.int32(primer_len[j]),
-                                    np.int32(target_bars[j]))
-                    slot_job[b] = j
+                    mask[b] = True
+                    rows[b] = next_job
+                    slot_job[b] = next_job
                     next_job += 1
                 else:
-                    s = self._idle(s, np.int32(b))
+                    idle[b] = True
                     slot_job[b] = None
+            s = self._refill(s, jnp.asarray(mask), jnp.asarray(idle),
+                             *self._job_rows(inj_tokens, inj_segs, inj_len,
+                                             primer_arr, primer_len,
+                                             target_bars, rows))
 
         secs = time.time() - t0
         stats = {'seconds': secs, 'wall_seconds': secs, 'chunks': chunks,

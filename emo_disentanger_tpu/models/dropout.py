@@ -1,0 +1,55 @@
+"""Dropout with an opt-in random-bit economy for the training hot path.
+
+``flax.linen.Dropout`` draws a full 32-bit uniform per element
+(``random.bernoulli`` -> ``random.uniform`` -> f32 compare).  At the
+stage-2 production shape (B=16, L=3072, d=512, 37 mask sites per step)
+mask generation is pure VPU work that overlaps nothing; the rbg-key
+switch (``train.trainer.dropout_rng``) already cut it ~95 ms -> ~25 ms
+per step, and the remaining lever (ROADMAP / VERDICT r3 weak #6) is the
+bit WIDTH: a Bernoulli(p) mask needs ~8 random bits, not 32.
+
+``EMODIS_DROPOUT_BITECON=1`` switches mask generation to ``random.bits``
+uint8 draws compared against ``round(rate * 256)`` — 4x fewer random
+bits and a u8 compare instead of an f32 one.  The realized drop rate
+quantizes to t/256 (0.1 -> 26/256 ~ 0.1016) and the inverse-keep scale
+uses the SAME quantized rate, so E[output] == input exactly, as with
+standard dropout.  Default (flag unset) delegates to ``nn.Dropout``
+unchanged — training semantics only move when explicitly opted in.
+
+The flag is read at trace time: flip it before the first jit of a train
+step (bench A/B runs each variant in a fresh process).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _bitecon_enabled() -> bool:
+    return os.environ.get('EMODIS_DROPOUT_BITECON', '0') != '0'
+
+
+class Dropout(nn.Dropout):
+    """Drop-in ``nn.Dropout`` with the opt-in uint8 mask path."""
+
+    @nn.compact
+    def __call__(self, inputs, deterministic=None, rng=None):
+        deterministic = nn.merge_param('deterministic', self.deterministic,
+                                       deterministic)
+        if (not _bitecon_enabled() or self.rate == 0.0 or deterministic
+                or self.broadcast_dims):
+            return super().__call__(inputs, deterministic=deterministic,
+                                    rng=rng)
+        if self.rate == 1.0:
+            return jnp.zeros_like(inputs)
+        if rng is None:
+            rng = self.make_rng(self.rng_collection)
+        t = max(1, min(255, round(self.rate * 256)))
+        bits = jax.random.bits(rng, inputs.shape, dtype=jnp.uint8)
+        keep = bits >= jnp.uint8(t)
+        # scale by the QUANTIZED keep prob so the mask stays mean-preserving
+        scale = jnp.asarray(256.0 / (256 - t), inputs.dtype)
+        return jnp.where(keep, inputs * scale,
+                         jnp.zeros((), inputs.dtype))

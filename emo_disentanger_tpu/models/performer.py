@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .dropout import Dropout
 from .embeddings import (
     LayerNorm, TokenEmbedding, normal_init, sinusoid_position_encoding,
 )
@@ -62,7 +63,9 @@ class PerformerLayer(nn.Module):
         self.linear2 = dense(self.d_model)
         self.norm1 = LayerNorm(dtype=self.dtype)
         self.norm2 = LayerNorm(dtype=self.dtype)
-        self.drop = nn.Dropout(self.dropout)
+        # models.dropout.Dropout == nn.Dropout unless EMODIS_DROPOUT_BITECON
+        # opts the train step into uint8 mask draws (see that module)
+        self.drop = Dropout(self.dropout)
 
     def _heads(self, x):
         B, L, _ = x.shape
@@ -187,7 +190,7 @@ class MusicPerformer(nn.Module):
             self.segemb = TokenEmbedding(
                 n_token=self.n_segment_types, d_embed=self.d_embed,
                 d_proj=self.d_model, dtype=self.dtype)
-        self.emb_dropout = nn.Dropout(self.dropout)
+        self.emb_dropout = Dropout(self.dropout)
         self.layers = [
             PerformerLayer(n_head=self.n_head, d_model=self.d_model,
                            d_ff=self.d_ff, dropout=self.dropout,

@@ -36,18 +36,23 @@ def flash_decode_attention(
     """Returns [B, H, Dh] attention over positions 0..t (inclusive)."""
     B, Kmax, H, Dh = k_cache.shape
     chunk = min(chunk, Kmax)
-    q32 = q.astype(jnp.float32)
+    # dtype-preserving chunk dots (f32 accumulation via
+    # preferred_element_type): upcasting each cache chunk to f32 before the
+    # dot materialized double-width copies of every cache read — see the
+    # matching note in full_decode_attention.  bf16 products are exact in
+    # f32, so scores are bit-identical; f32 models are unaffected.
 
     if rel is not None:
         rr_q, r_heads = rel
-        rr_q = rr_q.astype(jnp.float32)
+        rr_q = rr_q.astype(r_heads.dtype)
 
     def body(ci, carry):
         m, l, acc = carry
         c0 = ci * chunk
         kk = jax.lax.dynamic_slice(k_cache, (0, c0, 0, 0), (B, chunk, H, Dh))
         vv = jax.lax.dynamic_slice(v_cache, (0, c0, 0, 0), (B, chunk, H, Dh))
-        s = jnp.einsum('bhd,bjhd->bhj', q32, kk.astype(jnp.float32))
+        s = jnp.einsum('bhd,bjhd->bhj', q.astype(kk.dtype), kk,
+                       preferred_element_type=jnp.float32)
 
         if rel is not None:
             # BD[jj] = rr_q . r_heads[t - (c0+jj)]; the distances form the
@@ -56,8 +61,9 @@ def flash_decode_attention(
             e = t - c0
             s0 = jnp.clip(e - chunk + 1, 0, Kmax - chunk)
             rslice = jax.lax.dynamic_slice(
-                r_heads, (s0, 0, 0), (chunk, H, Dh)).astype(jnp.float32)
-            rq = jnp.einsum('bhd,khd->bhk', rr_q, rslice)
+                r_heads, (s0, 0, 0), (chunk, H, Dh))
+            rq = jnp.einsum('bhd,khd->bhk', rr_q, rslice,
+                            preferred_element_type=jnp.float32)
             rq = jnp.flip(rq, axis=-1)
             rq = jnp.pad(rq, ((0, 0), (0, 0), (0, chunk)))
             start = (chunk - 1) - (e - s0)
@@ -72,8 +78,11 @@ def flash_decode_attention(
         p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1)
+        # p rounds to the cache dtype for the value dot (<2^-8 relative on
+        # the attention weights, far below sampling noise; exact for f32)
         acc = acc * corr[..., None] + jnp.einsum(
-            'bhj,bjhd->bhd', p, vv.astype(jnp.float32))
+            'bhj,bjhd->bhd', p.astype(vv.dtype), vv,
+            preferred_element_type=jnp.float32)
         return m_new, l, acc
 
     m0 = jnp.full((B, H), NEG_INF, jnp.float32)
@@ -105,16 +114,27 @@ def full_decode_attention(
     batch; the batched stage-1 generator uses this path.
     """
     B, Kmax, H, Dh = k_cache.shape
-    q32 = q.astype(jnp.float32)
-    s = jnp.einsum('bhd,bjhd->bhj', q32, k_cache.astype(jnp.float32))
+    # dtype-preserving dots with f32 accumulation: upcasting the whole
+    # padded cache (`k_cache.astype(f32)`) materialized 2x-width copies of
+    # every cache read each step — at K=1536/B=16/12L that is GB-scale HBM
+    # traffic per decoded token, and was most of the measured gap between
+    # this decode and its bandwidth bound (round 4).  bf16 x bf16 products
+    # are exact in f32, so `s` is bit-identical to the upcast version; for
+    # f32 models every astype below is a no-op and nothing changes at all.
+    s = jnp.einsum('bhd,bjhd->bhj', q, k_cache,
+                   preferred_element_type=jnp.float32)
     if rel is not None:
         rr_q, r_heads = rel
         # BD[j] = rr_q . r_heads[t - j]; gather the distance rows directly
         dist = jnp.clip(t - jnp.arange(Kmax), 0, r_heads.shape[0] - 1)
-        rsel = jnp.take(r_heads, dist, axis=0).astype(jnp.float32)
-        s = s + jnp.einsum('bhd,jhd->bhj', rr_q.astype(jnp.float32), rsel)
+        rsel = jnp.take(r_heads, dist, axis=0)
+        s = s + jnp.einsum('bhd,jhd->bhj', rr_q.astype(rsel.dtype), rsel,
+                           preferred_element_type=jnp.float32)
     s = s * scale
     s = jnp.where((jnp.arange(Kmax) > t)[None, None, :], NEG_INF, s)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum('bhj,bjhd->bhd', p,
-                      v_cache.astype(jnp.float32)).astype(q.dtype)
+    # p rounds to the cache dtype for the value dot: for bf16 serving the
+    # attention weights lose <2^-8 relative — far below sampling noise —
+    # in exchange for halving the largest HBM read in the loop
+    return jnp.einsum('bhj,bjhd->bhd', p.astype(v_cache.dtype), v_cache,
+                      preferred_element_type=jnp.float32).astype(q.dtype)

@@ -273,3 +273,70 @@ def test_serve_reset_slot_restores_fresh_state():
     S = np.asarray(s['state']['S'])
     assert np.all(S[:, 0] == 0.0)
     assert fresh_S.shape == S.shape
+
+
+def test_serve_batched_refill_equals_per_slot_reset():
+    """_reset_slots (serve's one-dispatch harvest refill) must produce the
+    same state as the per-slot _reset_slot composition, and its idle_mask
+    must match _idle_slot."""
+    vocab = tiny_vocab2()
+    B = 2
+    gen = _tiny_performer_gen(vocab, B, max_events=60)
+    bar = [vocab.event2idx[e] for e in
+           ['Bar_None', 'Beat_0', 'Chord_I_M', 'Note_Octave_5',
+            'Note_Degree_I', 'Note_Duration_480']]
+    primer = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
+              vocab.event2idx['Tempo_110']]
+    inj_t, inj_s, inj_l, prim, plen, tbars = gen._prep_jobs(
+        [primer] * B, [[list(bar)] * 2] * B, None)
+
+    def dirty():
+        s = gen._initj(jnp.asarray(inj_t), jnp.asarray(inj_s),
+                       jnp.asarray(inj_l), jnp.asarray(prim),
+                       jnp.asarray(plen), jnp.asarray(tbars),
+                       jax.random.PRNGKey(7))
+        return gen._chunk(s)
+
+    # per-slot composition: reset slot 0, idle slot 1
+    a = gen._reset(dirty(), np.int32(0), jnp.asarray(inj_t[0]),
+                   jnp.asarray(inj_s[0]), jnp.asarray(inj_l[0]),
+                   jnp.asarray(prim[0]), np.int32(plen[0]),
+                   np.int32(tbars[0]))
+    a = gen._idle(a, np.int32(1))
+
+    # batched: one masked dispatch for both
+    rows = gen._job_rows(inj_t, inj_s, inj_l, prim, plen, tbars, [0, 0])
+    b = gen._refill(dirty(), jnp.asarray(np.array([True, False])),
+                    jnp.asarray(np.array([False, True])), *rows)
+
+    for k in a:
+        if k == 'rng':
+            continue
+        if k == 'state':
+            for sk in a[k]:
+                np.testing.assert_array_equal(
+                    np.asarray(a[k][sk]), np.asarray(b[k][sk]),
+                    err_msg=f'state.{sk}')
+            continue
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+
+
+def test_serve_chunk_floor_bounds_host_round_trips():
+    """With a steps floor, finishes inside the window batch into ONE
+    harvest: chunk count collapses toward total_steps/floor instead of one
+    hand-back per finish."""
+    vocab = tiny_vocab2()
+    B, N = 2, 6
+    gen = _tiny_performer_gen(vocab, B)
+    assert gen.serve_chunk_steps > 0
+    bar = [vocab.event2idx[e] for e in
+           ['Bar_None', 'Beat_0', 'Chord_I_M', 'Note_Octave_5',
+            'Note_Degree_I', 'Note_Duration_480']]
+    primer = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
+              vocab.event2idx['Tempo_110']]
+    streams, stats = gen.serve([primer] * N, [[list(bar)] * 2] * N, seed=5)
+    assert all(st is not None for st in streams)
+    # every job completed; a per-finish exit policy would need >= N chunks
+    # here, the floored policy needs at most ceil(N/B) + a straggler or two
+    assert stats['chunks'] <= N
