@@ -5,6 +5,8 @@ plus a derived two-stage songs/min figure.
 Prints one JSON object per line, one line per metric.
 """
 
+import os
+import sys
 import json
 import time
 
@@ -330,34 +332,40 @@ def bench_stage1_sampled_generation(batch=16, max_events=384):
             (sum(stats['events']) + sum(stats['rejects'])) / dt)
 
 
-def main():
-    results = {}
-    for name, fn, batches in [
-            ('stage1_txl', bench_txl, (1, 16, 32)),
-            ('stage2_performer', bench_performer, (1, 16, 32, 64)),
-            ('stage2_gpt2', bench_gpt2, (1, 16, 32))]:
-        for batch in batches:
-            tps = fn(batch)
-            key = f'{name}_B{batch}'
-            results[key] = tps
-            print(json.dumps({'metric': f'{name} decode', 'batch': batch,
-                              'value': round(tps, 1),
-                              'unit': 'tokens/sec/chip'}))
+def sec_decode_txl():
+    for batch in (1, 16, 32):
+        print(json.dumps({'metric': 'stage1_txl decode', 'batch': batch,
+                          'value': round(bench_txl(batch), 1),
+                          'unit': 'tokens/sec/chip'}), flush=True)
 
-    # GPT-2 batch-scaling attribution: the dense decode reads the whole
-    # per-element KV cache every step, so HBM traffic grows linearly with
-    # BOTH batch and cache_len while the weight read stays fixed — the
-    # tokens/sec ceiling is therefore ~flat in batch (cache reads dominate
-    # weights 20:1 at B=16/K=2048) and ~1/K in cache size.  The sweep below
-    # separates the two: if throughput ~doubles when K halves at fixed B,
-    # decode is cache-bandwidth-bound and weak batch scaling is expected,
-    # not a loop inefficiency.
+
+def sec_decode_performer():
+    for batch in (1, 16, 32, 64):
+        print(json.dumps({'metric': 'stage2_performer decode', 'batch': batch,
+                          'value': round(bench_performer(batch), 1),
+                          'unit': 'tokens/sec/chip'}), flush=True)
+
+
+def sec_decode_gpt2():
+    # GPT-2 batch scaling + cache-length attribution: the dense decode
+    # reads the whole per-element KV cache every step, so HBM traffic grows
+    # linearly with BOTH batch and cache_len while the weight read stays
+    # fixed -- the tokens/sec ceiling is therefore ~flat in batch (cache
+    # reads dominate weights 20:1 at B=16/K=2048) and ~1/K in cache size.
+    # If throughput ~doubles when K halves at fixed B, decode is
+    # cache-bandwidth-bound and weak batch scaling is expected, not a
+    # loop inefficiency.
+    results = {}
+    for batch in (1, 16, 32):
+        results[batch] = bench_gpt2(batch)
+        print(json.dumps({'metric': 'stage2_gpt2 decode', 'batch': batch,
+                          'value': round(results[batch], 1),
+                          'unit': 'tokens/sec/chip'}), flush=True)
     kv_bytes = 2 * 12 * 512 * 2                  # K+V, 12 layers, d=512, bf16
     w_bytes = 2 * (12 * (4 * 512 * 512 + 2 * 512 * 2048) + VOCAB * 512 * 2)
     sweep = {}
     for k in (512, 1024, 2048):
-        tps = (results['stage2_gpt2_B16'] if k == 2048
-               else bench_gpt2(16, cache_len=k))
+        tps = results[16] if k == 2048 else bench_gpt2(16, cache_len=k)
         sweep[f'K{k}'] = round(tps, 1)
     hbm_gbps = 819.0                             # v5e HBM peak
     ceil_2048 = hbm_gbps * 1e9 / (16 * 2048 * kv_bytes + w_bytes) * 16
@@ -368,54 +376,55 @@ def main():
                       'k512_over_k2048': round(sweep['K512']
                                                / sweep['K2048'], 2),
                       'hbm_bound_tokens_per_sec_K2048': round(ceil_2048, 1),
-                      'unit': 'tokens/sec/chip'}))
+                      'unit': 'tokens/sec/chip'}), flush=True)
 
-    # two-stage songs/min: ~512 stage-1 + ~3000 stage-2 tokens per song
-    s1 = results['stage1_txl_B16']
-    s2 = results['stage2_performer_B16']
-    per_song = 512 / s1 + 3000 / s2
-    print(json.dumps({'metric': 'two-stage songs/min (derived, B=16, '
-                                '512 s1 + 3000 s2 tokens/song)',
-                      'value': round(60.0 / per_song, 1),
-                      'unit': 'songs/min/chip'}))
 
+def sec_sampled_performer():
     for b in (16, 32):
         tps = bench_sampled_generation(batch=b)
         print(json.dumps({'metric': 'stage2 Performer batched generation '
                                     f'(B={b} bf16, nucleus sampling + rules '
                                     'on device, teacher-forced bars)',
                           'value': round(tps, 1),
-                          'unit': 'tokens/sec/chip'}))
+                          'unit': 'tokens/sec/chip'}), flush=True)
 
+
+def sec_sampled_gpt2():
     tps = bench_sampled_generation(batch=16, backbone='gpt2')
     print(json.dumps({'metric': 'stage2 GPT-2 batched generation (B=16 bf16, '
                                 'nucleus sampling + rules on device, '
                                 'teacher-forced bars, in-loop re-anchor)',
                       'value': round(tps, 1),
-                      'unit': 'tokens/sec/chip'}))
+                      'unit': 'tokens/sec/chip'}), flush=True)
 
+
+def sec_continuous():
     for b in (16, 64):
         tps = bench_sampled_generation(batch=b, continuous=True)
         print(json.dumps({'metric': 'stage2 Performer CONTINUOUS batching '
                                     f'(B={b} slots, 2x jobs, serve() refill '
-                                    'on finish, bf16)',
+                                    'on finish, bf16; HOMOGENEOUS jobs -- '
+                                    "lockstep's best case, see "
+                                    'BENCH_e2e_r04 for the mixed-length '
+                                    'comparison)',
                           'value': round(tps, 1),
-                          'unit': 'tokens/sec/chip'}))
+                          'unit': 'tokens/sec/chip'}), flush=True)
 
+
+def sec_stage1_gen():
     tps, sps = bench_stage1_sampled_generation()
     print(json.dumps({'metric': 'stage1 TXL batched generation (B=16 bf16, '
                                 'nucleus sampling + key/beat rules on '
                                 'device, full-attention decode; accepted '
-                                'tokens/sec — random weights reject ~0.7/tok,'
-                                ' trained ~0)',
+                                'tokens/sec -- random weights reject '
+                                '~0.7/tok, trained ~0)',
                       'value': round(tps, 1),
                       'loop_steps_per_sec': round(sps, 1),
-                      'unit': 'tokens/sec/chip'}))
+                      'unit': 'tokens/sec/chip'}), flush=True)
 
-    for batch, dtype, tag in [(4, jnp.float32, 'f32'),
-                              (4, jnp.bfloat16, 'bf16'),
-                              (16, jnp.bfloat16, 'bf16'),
-                              (32, jnp.bfloat16, 'bf16')]:
+
+def _train_variants(variants):
+    for batch, dtype, tag in variants:
         tps, mfu = bench_train_step(batch=batch, dtype=dtype)
         print(json.dumps({'metric': 'stage2 Performer train step '
                                     f'(fwd+bwd+Adam, B={batch}, L=3072, '
@@ -423,8 +432,88 @@ def main():
                                     'Pallas fwd+bwd kernels)',
                           'value': round(tps, 1),
                           'unit': 'tokens/sec/chip',
-                          'mfu': round(mfu, 4)}))
+                          'mfu': round(mfu, 4)}), flush=True)
+
+
+def sec_train_f32():
+    _train_variants([(4, jnp.float32, 'f32')])
+
+
+def sec_train_bf16():
+    _train_variants([(4, jnp.bfloat16, 'bf16'), (16, jnp.bfloat16, 'bf16'),
+                     (32, jnp.bfloat16, 'bf16')])
+
+
+SECTIONS = {
+    'decode_txl': sec_decode_txl,
+    'decode_performer': sec_decode_performer,
+    'decode_gpt2': sec_decode_gpt2,
+    'sampled_performer': sec_sampled_performer,
+    'sampled_gpt2': sec_sampled_gpt2,
+    'continuous': sec_continuous,
+    'stage1_gen': sec_stage1_gen,
+    'train_f32': sec_train_f32,
+    'train_bf16': sec_train_bf16,
+}
+
+
+def main():
+    """Orchestrate sections in FRESH subprocesses with one retry each.
+
+    The axon relay can hang a single compile indefinitely (round 4: the
+    GPT-2 decode section stalled a whole-matrix single process for 47
+    minutes) and a crashed compile can poison the parent client
+    (FAILED_PRECONDITION, CLAUDE.md) -- per-section isolation with a cap
+    plus one fresh-process retry keeps one bad compile from starving the
+    rest of the matrix.  Section output streams through as it completes."""
+    import subprocess
+    cap = float(os.environ.get('EMODIS_EXTRA_SECTION_TIMEOUT', '1500'))
+    per_song = {}
+    for name in SECTIONS:
+        for attempt in (1, 2):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     '--sub', name],
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                    text=True, timeout=cap,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+            except subprocess.TimeoutExpired:
+                print(json.dumps({'metric': f'section {name}',
+                                  'error': f'timeout {int(cap)}s '
+                                           f'(attempt {attempt})'}),
+                      flush=True)
+                continue
+            for line in proc.stdout.splitlines():
+                try:
+                    obj = json.loads(line)
+                except ValueError:
+                    continue
+                print(line, flush=True)
+                if obj.get('metric') == 'stage1_txl decode' \
+                        and obj.get('batch') == 16:
+                    per_song['s1'] = obj['value']
+                if obj.get('metric') == 'stage2_performer decode' \
+                        and obj.get('batch') == 16:
+                    per_song['s2'] = obj['value']
+            if proc.returncode == 0:
+                break
+            tail = ' | '.join(proc.stderr.strip().splitlines()[-4:])[-400:]
+            print(json.dumps({'metric': f'section {name}',
+                              'error': f'rc={proc.returncode} '
+                                       f'(attempt {attempt}); {tail}'}),
+                  flush=True)
+    if 's1' in per_song and 's2' in per_song:
+        # two-stage songs/min: ~512 stage-1 + ~3000 stage-2 tokens per song
+        per = 512 / per_song['s1'] + 3000 / per_song['s2']
+        print(json.dumps({'metric': 'two-stage songs/min (derived, B=16, '
+                                    '512 s1 + 3000 s2 tokens/song)',
+                          'value': round(60.0 / per, 1),
+                          'unit': 'songs/min/chip'}), flush=True)
 
 
 if __name__ == '__main__':
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == '--sub':
+        SECTIONS[sys.argv[2]]()
+    else:
+        main()
