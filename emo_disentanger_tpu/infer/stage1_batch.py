@@ -232,6 +232,13 @@ class Stage1BatchGenerator:
         self.max_events = max_events
         self.tables = build_rule_tables(vocab)
         full_klen = max_events + reject_slack
+        # serve() machinery (continuous batching) builds lazily on first use
+        self._full_klen = full_klen
+        self._temp = temp
+        self._top_p = top_p
+        self._functional = functional
+        self._serve_parts = None
+        self._serve_chunk = None
         if tiers is None:
             tiers = ([max_events + fast_slack]
                      if fast_slack is not None and fast_slack < reject_slack
@@ -339,3 +346,328 @@ class Stage1BatchGenerator:
                  # cost by the idle tail (bench_s1_attrib divides by this)
                  'iters': int(s['iters'])}
         return songs, stats
+
+    def serve(self, emotions: List[str], *, seed: int = 0,
+              target_bars=None, chunk_steps: int = 128,
+              ) -> Tuple[List[Optional[List[str]]], dict]:
+        """Continuous batching: N single-emotion jobs stream through the B
+        device slots (the stage-2 ``serve`` design, adapted to stage 1's
+        cache decode).
+
+        The lockstep ``generate`` idles finished slots until the slowest
+        song is done — measured idle_frac 0.47 at B=16 under worst-case
+        random-weight rejection (BENCH_s1_attrib_r04).  Here the compiled
+        loop decodes with PER-ELEMENT cache clocks
+        (``PlainTransformer.decode_step_pe``), hands control back to the
+        host after a finish once at least ``chunk_steps`` device steps have
+        elapsed (bounding relay round-trips), and each harvest re-arms all
+        finished slots in ONE masked dispatch.
+
+        Sampling stream discipline matches ``generate`` (a shared rng chain
+        split once per device step); token streams differ from lockstep
+        runs of the same seed — all are valid reference-semantics samples.
+        Returns (songs, stats) in submission order; stats carries the
+        per-job fields of ``generate`` plus ``chunks``.  serve uses the
+        full Kmax directly (no cache ladder): a spilled song's OVERFLOW is
+        terminal, exactly like a ladder-less ``generate``."""
+        N = len(emotions)
+        B = self.batch
+        if N == 0:
+            return [], {'seconds': 0.0, 'chunks': 0, 'status': [],
+                        'bars': [], 'events': [], 'rejects': [],
+                        'resumed': 0}
+        if self._serve_parts is None or self._serve_chunk != chunk_steps:
+            full_klen = self._full_klen
+            self._serve_parts = _make_serve_parts(
+                self.model, self.tables, temp=self._temp, top_p=self._top_p,
+                key_temp=1.1, key_top_p=0.97, max_events=self.max_events,
+                functional=self._functional,
+                max_iters=self.max_events * 2 + 2048, max_klen=full_klen,
+                batch=B, chunk_steps=chunk_steps)
+            self._serve_chunk = chunk_steps
+        init_j, chunk_j, refill_j = self._serve_parts
+
+        prim = np.asarray([[self.vocab.event2idx['Emotion_{}'.format(e)]]
+                           for e in emotions], np.int32)       # [N, 1]
+        plen = np.ones(N, np.int32)
+        pb = np.zeros(N, np.int32)
+        want = np.asarray([emotion_wants_major(e) for e in emotions])
+        if isinstance(target_bars, (list, tuple, np.ndarray)):
+            tb = np.minimum(np.asarray(target_bars, np.int32), self.max_bars)
+        else:
+            tb = np.full(N, target_bars or self.max_bars, np.int32)
+
+        def rows(r):
+            r = np.asarray(r)
+            return (jnp.asarray(prim[r]), jnp.asarray(plen[r]),
+                    jnp.asarray(pb[r]), jnp.asarray(tb[r]),
+                    jnp.asarray(want[r]))
+
+        t0 = time.time()
+        first = min(B, N)
+        fill = list(range(first)) + [0] * (B - first)
+        s = init_j(self.params, *rows(fill), jax.random.PRNGKey(seed))
+        slot_job: List[Optional[int]] = (list(range(first))
+                                         + [None] * (B - first))
+        if first < B:
+            idle0 = np.zeros(B, bool)
+            idle0[first:] = True
+            s = refill_j(s, jnp.zeros(B, bool), jnp.asarray(idle0),
+                         *rows([0] * B))
+        next_job = first
+
+        songs_tok: List[Optional[List[int]]] = [None] * N
+        st_out = [0] * N
+        bars_out = [0] * N
+        ev_out = [0] * N
+        rej_out = [0] * N
+        chunks = 0
+
+        def finished_mask(status, bars, tgt):
+            return ((status != STATUS_RUNNING) & (status != STATUS_IDLE)) \
+                | ((status == STATUS_RUNNING) & (bars >= tgt))
+
+        while True:
+            status = np.asarray(s['status'])
+            bars_v = np.asarray(s['bars'])
+            tgt_v = np.asarray(s['target_bars'])
+            live = (status == STATUS_RUNNING) & (bars_v < tgt_v)
+            if not live.any():
+                pass  # fall through: harvest whatever remains, then exit
+            else:
+                s = chunk_j(self.params, s)
+                chunks += 1
+                status = np.asarray(s['status'])
+                bars_v = np.asarray(s['bars'])
+                tgt_v = np.asarray(s['target_bars'])
+            fin = [b for b in range(B)
+                   if slot_job[b] is not None
+                   and finished_mask(status[b:b + 1], bars_v[b:b + 1],
+                                     tgt_v[b:b + 1])[0]]
+            if not fin:
+                if not ((status == STATUS_RUNNING)
+                        & (bars_v < tgt_v)).any():
+                    break
+                continue
+            out_np, out_len, rej_v = jax.device_get(
+                (s['out'], s['out_len'], s['rejects']))
+            for b in fin:
+                j = slot_job[b]
+                st_out[j] = int(status[b])
+                bars_out[j] = int(bars_v[b])
+                ev_out[j] = int(out_len[b])
+                rej_out[j] = int(rej_v[b])
+                songs_tok[j] = (None if status[b] == STATUS_STUCK
+                                else out_np[b, :out_len[b]].tolist())
+            mask = np.zeros(B, bool)
+            idle = np.zeros(B, bool)
+            fill_rows = [0] * B
+            for b in fin:
+                if next_job < N:
+                    mask[b] = True
+                    fill_rows[b] = next_job
+                    slot_job[b] = next_job
+                    next_job += 1
+                else:
+                    idle[b] = True
+                    slot_job[b] = None
+            s = refill_j(s, jnp.asarray(mask), jnp.asarray(idle),
+                         *rows(fill_rows))
+
+        secs = time.time() - t0
+        songs: List[Optional[List[str]]] = []
+        for toks in songs_tok:
+            songs.append(None if toks is None
+                         else self.vocab.decode(toks[:-1]))
+        stats = {'seconds': secs, 'chunks': chunks, 'status': st_out,
+                 'bars': bars_out, 'events': ev_out, 'rejects': rej_out,
+                 'resumed': 0}
+        return songs, stats
+
+
+STATUS_IDLE = 4          # serve(): slot has no job (queue exhausted)
+
+
+def _make_serve_parts(model: PlainTransformer, tables, *, temp: float,
+                      top_p: float, key_temp: float, key_top_p: float,
+                      max_events: int, functional: bool, max_iters: int,
+                      max_klen: int, batch: int, chunk_steps: int):
+    """Compiled pieces of stage-1 CONTINUOUS BATCHING.
+
+    The lockstep loop shares ONE cache write clock (every element appends
+    at the same ``t`` — the reference's retry semantics make that legal),
+    which is also why it cannot refill a finished slot mid-flight: a fresh
+    song needs ``t = 0`` while its neighbours are at ``t = 500``.  serve()
+    therefore decodes with the PER-ELEMENT-clock step
+    (``PlainTransformer.decode_step_pe`` — bitwise the shared-clock step at
+    uniform ``t``) and keeps every per-job field in the carry so a single
+    masked dispatch can re-arm harvested slots (the stage-2 serve design,
+    ``stage2_batch._reset_slots``).
+
+    Returns (init_j, chunk_j, refill_j):
+      init_j(params, primer, primer_len, prompt_bars, target_bars,
+             want_major, rng) -> state
+      chunk_j(params, state) -> state    # >= chunk_steps, exit on finish
+      refill_j(state, mask, idle_mask, primer, primer_len, prompt_bars,
+               target_bars, want_major) -> state
+    """
+    is_beat = jnp.asarray(tables.is_beat)
+    beat_pos = jnp.asarray(tables.beat_pos)
+    is_bar = jnp.asarray(tables.is_bar)
+    is_eos = jnp.asarray(tables.is_eos)
+    is_pad = jnp.asarray(tables.is_pad)
+    is_key = jnp.asarray(tables.is_key)
+    key_major = jnp.asarray(tables.key_major)
+    sample_vp = jax.vmap(nucleus_sample, in_axes=(0, 0, 0, 0))
+    E = max_events + 8
+
+    def fresh_rows(primer, primer_len):
+        out = jnp.zeros((batch, E), jnp.int32)
+        out = jax.lax.dynamic_update_slice(out, primer, (0, 0))
+        pos0 = jnp.arange(E)
+        return jnp.where(pos0[None, :] < primer_len[:, None], out, 0)
+
+    def init(params, primer, primer_len, prompt_bars, target_bars,
+             want_major, rng):
+        cache = model.apply(params, batch, max_klen,
+                            method=PlainTransformer.init_decode_cache)
+        return dict(
+            cache=cache,
+            t=jnp.zeros((batch,), jnp.int32),
+            last=primer[:, 0],
+            fed=jnp.ones((batch,), jnp.int32),
+            out=fresh_rows(primer, primer_len),
+            out_len=primer_len.astype(jnp.int32),
+            bars=prompt_bars.astype(jnp.int32),
+            cur_pos=jnp.zeros((batch,), jnp.int32),
+            failed=jnp.zeros((batch,), jnp.int32),
+            rejects=jnp.zeros((batch,), jnp.int32),
+            esteps=jnp.zeros((batch,), jnp.int32),
+            status=jnp.full((batch,), STATUS_RUNNING, jnp.int32),
+            rng=rng,
+            # job fields ride the carry so refills are one masked update
+            primer=primer, primer_len=primer_len.astype(jnp.int32),
+            target_bars=target_bars.astype(jnp.int32),
+            want_major=want_major,
+        )
+
+    def running(s):
+        return (s['status'] == STATUS_RUNNING) & (s['bars'] < s['target_bars'])
+
+    def body(s):
+        P = s['primer'].shape[1]
+        logits, cache = model.apply(params_ref[0], s['last'], s['t'],
+                                    s['cache'],
+                                    method=PlainTransformer.decode_step_pe)
+        t = s['t'] + 1
+        rng, sub = jax.random.split(s['rng'])
+        keys = jax.random.split(sub, batch)
+
+        in_primer = s['fed'] < s['primer_len']
+        prim_next = s['primer'][jnp.arange(batch),
+                                jnp.minimum(s['fed'], P - 1)]
+        key_step = (jnp.logical_and(functional, s['out_len'] == 1)
+                    & ~in_primer)
+        t_eff = jnp.where(key_step, key_temp, temp)
+        p_eff = jnp.where(key_step, key_top_p, top_p)
+        w_samp = sample_vp(keys, logits, t_eff, p_eff)
+        word = jnp.where(in_primer, prim_next, w_samp)
+
+        key_ok = is_key[word] & (key_major[word] == s['want_major'])
+        reject_key = key_step & ~key_ok
+        reject_beat = (is_beat[word] & (beat_pos[word] < s['cur_pos'])
+                       & ~reject_key)
+        reject_pad = is_pad[word] & ~reject_key & ~reject_beat
+        reject = (reject_key | reject_beat | reject_pad) & ~in_primer
+
+        act = running(s)
+        sampled = act & ~in_primer
+        failed = jnp.where(sampled & reject_beat, s['failed'] + 1,
+                           jnp.where(sampled & is_beat[word] & ~reject, 0,
+                                     s['failed']))
+        stuck = failed >= 256
+
+        accept = sampled & ~reject
+        fed = s['fed'] + (act & in_primer).astype(jnp.int32)
+        idx = jnp.minimum(s['out_len'], E - 1)
+        pos = jnp.arange(E)
+        hit = (pos[None, :] == idx[:, None]) & accept[:, None]
+        out = jnp.where(hit, word[:, None], s['out'])
+        out_len = s['out_len'] + accept.astype(jnp.int32)
+        bars = s['bars'] + (accept & is_bar[word]).astype(jnp.int32)
+        cur_pos = jnp.where(accept & is_bar[word], 0,
+                            jnp.where(accept & is_beat[word],
+                                      beat_pos[word], s['cur_pos']))
+        last = jnp.where(accept | (act & in_primer), word, s['last'])
+
+        done = accept & (is_eos[word] | (out_len > max_events))
+        overflow = t >= max_klen - 1
+        esteps = s['esteps'] + act.astype(jnp.int32)
+        status = jnp.where(act & (stuck | (esteps >= max_iters)),
+                           STATUS_STUCK,
+                           jnp.where(done, STATUS_DONE,
+                                     jnp.where(act & overflow,
+                                               STATUS_OVERFLOW,
+                                               s['status'])))
+        return dict(s, cache=cache, t=t, last=last, fed=fed, out=out,
+                    out_len=out_len, bars=bars, cur_pos=cur_pos,
+                    failed=failed,
+                    rejects=s['rejects'] + (sampled
+                                            & reject).astype(jnp.int32),
+                    esteps=esteps, status=status, rng=rng)
+
+    # params can't close over a traced jit arg from body(); thread it via a
+    # one-element list the chunk wrapper fills before tracing
+    params_ref = [None]
+
+    def chunk(params, s):
+        params_ref[0] = params
+        entry = running(s)
+        floor = jnp.int32(chunk_steps)
+
+        def cond(carry):
+            st, i = carry
+            run = running(st)
+            return jnp.any(run) & (jnp.all(run == entry) | (i < floor))
+
+        def step(carry):
+            st, i = carry
+            return body(st), i + 1
+
+        s, _ = jax.lax.while_loop(cond, step, (s, jnp.int32(0)))
+        return s
+
+    def refill(s, mask, idle_mask, primer, primer_len, prompt_bars,
+               target_bars, want_major):
+        plen = primer_len.astype(jnp.int32)
+
+        def w(field, new):
+            cur = s[field]
+            mm = mask.reshape((batch,) + (1,) * (cur.ndim - 1))
+            return jnp.where(mm, new, cur)
+
+        zi = jnp.zeros((batch,), jnp.int32)
+        upd = dict(
+            t=w('t', zi),
+            last=w('last', primer[:, 0]),
+            fed=w('fed', jnp.ones((batch,), jnp.int32)),
+            out=w('out', fresh_rows(primer, plen)),
+            out_len=w('out_len', plen),
+            bars=w('bars', prompt_bars.astype(jnp.int32)),
+            cur_pos=w('cur_pos', zi),
+            failed=w('failed', zi),
+            rejects=w('rejects', zi),
+            esteps=w('esteps', zi),
+            status=jnp.where(mask, STATUS_RUNNING,
+                             jnp.where(idle_mask, STATUS_IDLE, s['status'])),
+            primer=w('primer', primer),
+            primer_len=w('primer_len', plen),
+            target_bars=w('target_bars', target_bars.astype(jnp.int32)),
+            want_major=w('want_major', want_major),
+        )
+        # the cache needs no clear: decode_step_pe masks positions > t[b],
+        # so a refilled slot's stale prefix is invisible from t = 0
+        return dict(s, **upd)
+
+    return (jax.jit(init), jax.jit(chunk, donate_argnums=1),
+            jax.jit(refill, donate_argnums=0))

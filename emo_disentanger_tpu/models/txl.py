@@ -146,6 +146,42 @@ class TXLSelfAttention(nn.Module):
             attn_out = self.layer_norm(attn_out)
         return attn_out, k_all, v_all
 
+    def decode_step_pe(self, x, t, layer_idx, k_all, v_all, r_heads,
+                       r_w_bias, r_r_bias):
+        """:meth:`decode_step` with a PER-ELEMENT clock ``t`` [B].
+
+        Continuous batching (``Stage1BatchGenerator.serve``) refills slots
+        mid-flight, so each element writes its cache at its own position —
+        a vmapped per-row ``dynamic_update_slice`` (the same pattern the
+        GPT-2 decode uses, ``gpt2.py write``) and the per-element-mask
+        whole-cache attention.  With ``t`` uniform this is bitwise the
+        shared-clock ``full_attention=True`` step (tested)."""
+        B = x.shape[0]
+        inp = self.layer_norm(x) if self.pre_lnorm else x
+        q, k, v = jnp.split(self.qkv_net(inp), 3, axis=-1)
+        q = q.reshape(B, self.n_head, self.d_head)
+
+        def write(cache_layer, new_row):
+            return jax.vmap(
+                lambda c, kk, tb: jax.lax.dynamic_update_slice(
+                    c, kk[None], (tb, 0, 0)))(cache_layer, new_row, t)
+
+        k_all = k_all.at[layer_idx].set(
+            write(k_all[layer_idx], k.reshape(B, self.n_head, self.d_head)))
+        v_all = v_all.at[layer_idx].set(
+            write(v_all[layer_idx], v.reshape(B, self.n_head, self.d_head)))
+
+        from ..ops.attention import full_decode_attention_pe
+        out = full_decode_attention_pe(
+            q + r_w_bias.astype(q.dtype), k_all[layer_idx], v_all[layer_idx],
+            t, scale=1.0 / (self.d_head ** 0.5),
+            rel=(q + r_r_bias.astype(q.dtype), r_heads))
+        out = self.o_net(out.reshape(B, 1, self.n_head * self.d_head))
+        attn_out = x + out
+        if not self.pre_lnorm:
+            attn_out = self.layer_norm(attn_out)
+        return attn_out, k_all, v_all
+
     def rel_heads(self, max_klen: int) -> jax.Array:
         """Precompute r_net(PE(d)) for distances 0..max_klen-1."""
         pe = txl_positional_embedding(jnp.arange(max_klen), self.d_model)
@@ -206,6 +242,13 @@ class TXLLayer(nn.Module):
         x, k_all, v_all = self.attn.decode_step(
             x, t, layer_idx, k_all, v_all, r_heads, r_w_bias, r_r_bias,
             full_attention=full_attention)
+        x = self.ff(x, deterministic=True)
+        return x, k_all, v_all
+
+    def decode_step_pe(self, x, t, layer_idx, k_all, v_all, r_heads,
+                       r_w_bias, r_r_bias):
+        x, k_all, v_all = self.attn.decode_step_pe(
+            x, t, layer_idx, k_all, v_all, r_heads, r_w_bias, r_r_bias)
         x = self.ff(x, deterministic=True)
         return x, k_all, v_all
 
@@ -338,6 +381,20 @@ class PlainTransformer(nn.Module):
             h, k_all, v_all = layer.decode_step(
                 h, t, idx, k_all, v_all, cache['r'][idx],
                 self.r_w_bias, self.r_r_bias, full_attention=full_attention)
+        logits = self.out_proj(h.astype(jnp.float32))[:, 0]
+        return logits, {'k': k_all, 'v': v_all, 'r': cache['r']}
+
+    def decode_step_pe(self, token: jax.Array, t: jax.Array,
+                       cache: Dict[str, Any],
+                       ) -> Tuple[jax.Array, Dict[str, Any]]:
+        """:meth:`decode_step` with PER-ELEMENT positions ``t`` [B] —
+        the continuous-batching decode (see the layer method)."""
+        h = self.word_emb(token[:, None])
+        k_all, v_all = cache['k'], cache['v']
+        for idx, layer in enumerate(self.layers):
+            h, k_all, v_all = layer.decode_step_pe(
+                h, t, idx, k_all, v_all, cache['r'][idx],
+                self.r_w_bias, self.r_r_bias)
         logits = self.out_proj(h.astype(jnp.float32))[:, 0]
         return logits, {'k': k_all, 'v': v_all, 'r': cache['r']}
 

@@ -138,3 +138,45 @@ def full_decode_attention(
     # in exchange for halving the largest HBM read in the loop
     return jnp.einsum('bhj,bjhd->bhd', p.astype(v_cache.dtype), v_cache,
                       preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def full_decode_attention_pe(
+    q: jax.Array,              # [B, H, Dh]
+    k_cache: jax.Array,        # [B, Kmax, H, Dh]
+    v_cache: jax.Array,        # [B, Kmax, H, Dh]
+    t: jax.Array,              # [B] PER-ELEMENT positions
+    *,
+    scale: float,
+    rel: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    """:func:`full_decode_attention` with a PER-ELEMENT clock.
+
+    Continuous batching refills one slot's song while others are mid-song,
+    so each batch element carries its own cache length ``t[b]`` — the
+    shared-scalar-``t`` design of the lockstep loop cannot express that.
+    Identical math per element: with ``t`` uniform this returns bitwise the
+    same scores as the shared-clock op (tested).
+
+    The TXL relative-position term generalizes by computing the query-dot
+    for EVERY distance row (``rq_all[b,h,D] = rr_q . r_heads[D]`` — the
+    same FLOPs as the shared-clock einsum against the gathered rows) and
+    gathering ``BD[b,h,j] = rq_all[b,h,t_b - j]`` with ``take_along_axis``
+    instead of relying on one shared distance vector."""
+    B, Kmax, H, Dh = k_cache.shape
+    s = jnp.einsum('bhd,bjhd->bhj', q, k_cache,
+                   preferred_element_type=jnp.float32)
+    if rel is not None:
+        rr_q, r_heads = rel
+        rq_all = jnp.einsum('bhd,khd->bhk', rr_q.astype(r_heads.dtype),
+                            r_heads, preferred_element_type=jnp.float32)
+        dist = jnp.clip(t[:, None] - jnp.arange(Kmax)[None, :], 0,
+                        r_heads.shape[0] - 1).astype(jnp.int32)
+        bd = jnp.take_along_axis(
+            rq_all, jnp.broadcast_to(dist[:, None, :], (B, H, Kmax)), axis=-1)
+        s = s + bd
+    s = s * scale
+    s = jnp.where(jnp.arange(Kmax)[None, None, :] > t[:, None, None],
+                  NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum('bhj,bjhd->bhd', p.astype(v_cache.dtype), v_cache,
+                      preferred_element_type=jnp.float32).astype(q.dtype)

@@ -139,3 +139,65 @@ def test_tiered_kmax_bitwise_equals_single_tier():
     for k in ('status', 'bars', 'events', 'rejects'):
         assert stats_l[k] == stats_s[k], k
     assert stats_l['resumed'] >= stats_t['resumed']
+
+
+def test_pe_decode_bitwise_matches_shared_clock():
+    """decode_step_pe with uniform t must be bitwise the shared-clock
+    full-attention decode_step (logits AND cache), the correctness pin
+    for serve()'s per-element-clock loop."""
+    vocab = tiny_vocab2()
+    model = PlainTransformer(vocab_size=vocab.size, n_layer=2, n_head=2,
+                             d_model=32, d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    B, K = 3, 24
+    c1 = model.apply(params, B, K, method=PlainTransformer.init_decode_cache)
+    c2 = {k: v for k, v in c1.items()}
+    toks = jax.random.randint(jax.random.PRNGKey(1), (5, B), 0, vocab.size)
+    for t in range(5):
+        l1, c1 = model.apply(params, toks[t], jnp.int32(t), c1,
+                             full_attention=True,
+                             method=PlainTransformer.decode_step)
+        l2, c2 = model.apply(params, toks[t], jnp.full((B,), t, jnp.int32),
+                             c2, method=PlainTransformer.decode_step_pe)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_array_equal(np.asarray(c1['k']),
+                                      np.asarray(c2['k']))
+
+
+def test_stage1_serve_continuous_batching():
+    """serve(): N > B jobs through B slots with refill-on-finish — every
+    job completes with the same structural guarantees as lockstep
+    (emotion head token, key-mode rule), deterministically per seed."""
+    vocab = tiny_vocab2()
+    B, N = 2, 5
+    model = PlainTransformer(vocab_size=vocab.size, n_layer=2, n_head=2,
+                             d_model=32, d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    gen = Stage1BatchGenerator(model, params, vocab, batch=B, temp=1.2,
+                               top_p=0.97, max_events=40, max_bars=2,
+                               functional=True, reject_slack=128)
+    emotions = ['Q1', 'Q2', 'Q1', 'Q2', 'Q1']
+    songs, stats = gen.serve(emotions, seed=7, chunk_steps=16)
+    assert len(songs) == N
+    assert stats['chunks'] >= 1
+    from emo_disentanger_tpu.infer.stage1 import (STATUS_DONE, STATUS_STUCK,
+                                                  STATUS_OVERFLOW)
+    from emo_disentanger_tpu.infer.stage1_batch import STATUS_IDLE
+    for e, song, st in zip(emotions, songs, stats['status']):
+        assert st != STATUS_IDLE
+        if song is None:
+            assert st == STATUS_STUCK
+            continue
+        assert song[0] == 'Emotion_{}'.format(e)
+        if len(song) > 1 and song[1].startswith('Key_'):
+            keyname = song[1].split('_')[1]
+            assert keyname.isupper() == (e in ('Q1', 'Q4'))
+
+    songs2, stats2 = gen.serve(emotions, seed=7, chunk_steps=16)
+    assert songs == songs2 and stats['status'] == stats2['status']
+
+    # N < B leaves idle slots without hanging; N == B works too
+    songs3, _ = gen.serve(emotions[:1], seed=7, chunk_steps=16)
+    assert len(songs3) == 1
+    songs4, _ = gen.serve(emotions[:2], seed=7, chunk_steps=16)
+    assert len(songs4) == 2
