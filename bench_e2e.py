@@ -140,9 +140,14 @@ def build_models(vocab):
     return s1, p1, s2, p2, omegas
 
 
-def stage1_to_files(gen1, vocab, out_dir, seed, n_files=None, s1_batch=None):
+def stage1_to_files(gen1, vocab, out_dir, seed, n_files=None, s1_batch=None,
+                    use_serve=False):
     """Batched stage-1 -> *_roman.txt files (run_stage1 contract: the
-    emotion token is dropped; key must lead the stream)."""
+    emotion token is dropped; key must lead the stream).
+
+    ``use_serve``: stream ALL n_files jobs through gen1's B slots with
+    refill-on-finish (per-element-clock decode) instead of lockstep
+    waves of s1_batch."""
     from emo_disentanger_tpu.infer.pipeline import events_to_txt
     n_files = N_FILES if n_files is None else n_files
     s1_batch = S1_BATCH if s1_batch is None else s1_batch
@@ -153,13 +158,22 @@ def stage1_to_files(gen1, vocab, out_dir, seed, n_files=None, s1_batch=None):
     files = []
     n_s1_tokens = 0
     n_s1_rejects = 0
-    for g0 in range(0, n_files, s1_batch):
-        # stage-1 conditions on VALENCE tokens (Emotion_Positive/Negative,
-        # reference inference.py:128-131); quadrants only appear at stage 2
-        emotions = [('Positive' if (g0 + i) % 2 == 0 else 'Negative')
-                    for i in range(s1_batch)]
-        songs, stats = gen1.generate(emotions, seed=seed + g0,
-                                     target_bars=128)
+    # stage-1 conditions on VALENCE tokens (Emotion_Positive/Negative,
+    # reference inference.py:128-131); quadrants only appear at stage 2
+    all_emotions = [('Positive' if i % 2 == 0 else 'Negative')
+                    for i in range(n_files)]
+    if use_serve:
+        waves = [(0, all_emotions)]
+    else:
+        waves = [(g0, all_emotions[g0:g0 + s1_batch])
+                 for g0 in range(0, n_files, s1_batch)]
+    for g0, emotions in waves:
+        if use_serve:
+            songs, stats = gen1.serve(emotions, seed=seed + g0,
+                                      target_bars=128)
+        else:
+            songs, stats = gen1.generate(emotions, seed=seed + g0,
+                                         target_bars=128)
         n_s1_tokens += sum(stats['events'])
         n_s1_rejects += sum(stats['rejects'])
         for i, song in enumerate(songs):
@@ -257,7 +271,7 @@ def stage2_render(gen2, vocab, files, out_dir, seed, s2_batch=None,
 
 def measure(gen1, gen2, vocab, root, tag, n_files=None, s1_batch=None,
             s2_batch=None, s2_bars=None, use_serve=False, warm_files=None,
-            vary_bars=False):
+            vary_bars=False, s1_serve=False):
     """Warmup-compile then measure the full pipeline including file IO.
 
     ``warm_files``: number of stage-1 pieces for the warmup pass (defaults
@@ -276,7 +290,8 @@ def measure(gen1, gen2, vocab, root, tag, n_files=None, s1_batch=None,
     # identical-seed warmup guarantees the timed pass never pays a
     # tier compile (shared-prefix batches are bitwise the same runs)
     files, _, _ = stage1_to_files(gen1, vocab, warm_dir, seed=0,
-                                  n_files=warm_files, s1_batch=s1_batch)
+                                  n_files=warm_files, s1_batch=s1_batch,
+                                  use_serve=s1_serve)
     stage2_render(gen2, vocab, files[:warm_files], warm_dir, seed=1,
                   s2_batch=s2_batch, s2_bars=s2_bars, use_serve=use_serve,
                   vary_bars=vary_bars)
@@ -285,7 +300,8 @@ def measure(gen1, gen2, vocab, root, tag, n_files=None, s1_batch=None,
     t0 = time.perf_counter()
     files, s1_tokens, s1_rej = stage1_to_files(gen1, vocab, out_dir, seed=0,
                                                n_files=n_files,
-                                               s1_batch=s1_batch)
+                                               s1_batch=s1_batch,
+                                               use_serve=s1_serve)
     s2_tokens, s2_rej, n_songs = stage2_render(
         gen2, vocab, files, out_dir, seed=1, s2_batch=s2_batch,
         s2_bars=s2_bars, use_serve=use_serve, vary_bars=vary_bars)
@@ -415,9 +431,12 @@ def main():
         # refills finished slots from the queue (one masked dispatch per
         # harvest, serve_chunk_steps floor).
         for tag, srv in [('vary_lock', False), ('vary_serve', True)]:
+            # the serve leg streams BOTH stages: stage-1 files through the
+            # B=8 slots (per-element clocks) and stage-2 jobs through the
+            # 64 slots
             res = measure(gen1t, gen2t, vocab, tmp, tag, n_files=48,
                           warm_files=N_FILES + 2, use_serve=srv,
-                          vary_bars=True)
+                          vary_bars=True, s1_serve=srv)
             res['detail']['slots'] = S2_BATCH
             policy = ('CONTINUOUS BATCHING: 96 jobs streamed through '
                       f'{S2_BATCH} slots with refill-on-finish'

@@ -423,6 +423,20 @@ def sec_stage1_gen():
                       'unit': 'tokens/sec/chip'}), flush=True)
 
 
+def sec_stage1_serve():
+    # continuous batching for stage 1: 32 jobs through 16 per-element-clock
+    # slots (refill-on-finish) vs the lockstep tail idle (idle_frac ~0.47
+    # at B=16 worst case, BENCH_s1_attrib_r04)
+    tps, detail = bench_stage1_serve()
+    print(json.dumps({'metric': 'stage1 TXL CONTINUOUS batching (16 slots, '
+                                '2x jobs, serve() refill on finish, '
+                                'per-element cache clocks, bf16; accepted '
+                                'tokens/sec)',
+                      'value': round(tps, 1),
+                      'detail': detail,
+                      'unit': 'tokens/sec/chip'}), flush=True)
+
+
 def _train_variants(variants):
     for batch, dtype, tag in variants:
         tps, mfu = bench_train_step(batch=batch, dtype=dtype)
@@ -433,6 +447,41 @@ def _train_variants(variants):
                           'value': round(tps, 1),
                           'unit': 'tokens/sec/chip',
                           'mfu': round(mfu, 4)}), flush=True)
+
+
+def bench_stage1_serve(batch=16, n_jobs=32, max_events=384):
+    """Stage-1 continuous batching vs its own lockstep (same generator
+    config as bench_stage1_sampled_generation)."""
+    from emo_disentanger_tpu.core.vocab import Vocab
+    from emo_disentanger_tpu.models import PlainTransformer
+    from emo_disentanger_tpu.infer.stage1_batch import Stage1BatchGenerator
+    from emo_disentanger_tpu.utils.precision import cast_params
+
+    events = ['Emotion_Q1', 'Emotion_Q2', 'Emotion_Q3', 'Emotion_Q4',
+              'Key_C', 'Key_c', 'Bar_None', 'EOS_None',
+              'Chord_I_M', 'Chord_V_7', 'Chord_None_None']
+    events += [f'Beat_{b}' for b in range(16)]
+    events += [f'Filler_{i}' for i in range(VOCAB - len(events) - 1)]
+    events = sorted(set(events))
+    vocab = Vocab({e: i for i, e in enumerate(events)},
+                  {i: e for i, e in enumerate(events)})
+    model = PlainTransformer(vocab_size=vocab.size, n_layer=12, n_head=8,
+                             d_model=512, d_ff=2048, d_embed=512,
+                             dtype=jnp.bfloat16)
+    params = cast_params(model.init(jax.random.PRNGKey(0),
+                                    jnp.ones((1, 8), jnp.int32)))
+    gen = Stage1BatchGenerator(model, params, vocab, batch=batch,
+                               max_events=max_events, max_bars=64,
+                               functional=True)
+    emos = (['Q1', 'Q2', 'Q3', 'Q4'] * ((n_jobs + 3) // 4))[:n_jobs]
+    gen.serve(emos, seed=2)                              # compile
+    t0 = time.perf_counter()
+    _, stats = gen.serve(emos, seed=2)
+    dt = time.perf_counter() - t0
+    return (sum(stats['events']) / dt,
+            {'chunks': stats['chunks'], 'jobs': n_jobs,
+             'loop_tokens_per_sec': round(
+                 (sum(stats['events']) + sum(stats['rejects'])) / dt, 1)})
 
 
 def sec_train_f32():
@@ -452,6 +501,7 @@ SECTIONS = {
     'sampled_gpt2': sec_sampled_gpt2,
     'continuous': sec_continuous,
     'stage1_gen': sec_stage1_gen,
+    'stage1_serve': sec_stage1_serve,
     'train_f32': sec_train_f32,
     'train_bf16': sec_train_bf16,
 }
