@@ -183,7 +183,22 @@ def sub_e2e():
     return bench_e2e.quick_random()
 
 
+def sub_probe():
+    """Tiny-jit relay health check: distinguishes 'relay/tunnel wedged'
+    (observed round 4: a mid-compile kill hung even jax.devices() for
+    hours) from framework-level slowness in the artifact."""
+    import time as _t
+    import jax
+    import jax.numpy as jnp
+    t0 = _t.monotonic()
+    x = jax.jit(lambda a: a * 2 + 1)(jnp.ones((8, 8)))
+    float(x[0, 0])
+    return {'ok': True, 'secs': round(_t.monotonic() - t0, 1),
+            'platform': jax.devices()[0].platform}
+
+
 SUBS = {
+    'probe': sub_probe,
     'primary_b16': lambda: sub_primary(BATCH, DECODE_STEPS, WINDOW, 6),
     'primary_b4': lambda: sub_primary(4, 256, 1024, 4),
     'train': sub_train,
@@ -297,6 +312,14 @@ def main():
     signal.signal(signal.SIGINT, _on_signal)
     RESULT['deadline_secs'] = DEADLINE
     _write_progress()   # clobber any stale progress file immediately
+
+    # ---- relay preflight: a trivial jit in a fresh process.  Failure
+    # here means the tunnel is wedged (round-4 failure mode) — recorded so
+    # a dead-relay artifact is distinguishable from a framework regression.
+    probe, err, elapsed = run_sub('probe', min(240.0, max(_remaining(), 60)))
+    _record('probe', probe, err, elapsed)
+    if probe is not None:
+        RESULT['extra']['relay_probe_secs'] = probe['secs']
 
     # ---- primary: B=16, one retry in a fresh process (transient
     # FAILED_PRECONDITION after a crashed compile recovers in a new process)

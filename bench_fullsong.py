@@ -72,19 +72,26 @@ def train_fullsong(model, vocab, events_dir, n_steps=TRAIN_STEPS):
                           'loss_last': round(float(np.mean(losses[-5:])), 3)}
 
 
-def measure(gen, vocab, out_root, tag, info=None):
+def measure(gen, vocab, out_root, tag, info=None, use_serve=False,
+            n_jobs=None):
+    """``use_serve``: stream ``n_jobs`` (default 2x BATCH) jobs through the
+    B slots with refill-on-finish — full_song lengths vary wildly (38-508
+    events in one B=8 wave, BENCH_fullsong_r03), the workload continuous
+    batching exists for."""
     from emo_disentanger_tpu.infer.convert2midi import events_to_midi
     from emo_disentanger_tpu.infer.pipeline import roman_events_to_absolute
 
-    emotions = (['Q1', 'Q2', 'Q3', 'Q4'] * ((BATCH + 3) // 4))[:BATCH]
+    n = (n_jobs or 2 * BATCH) if use_serve else BATCH
+    emotions = (['Q1', 'Q2', 'Q3', 'Q4'] * ((n + 3) // 4))[:n]
+    run = gen.serve if use_serve else gen.generate
     # warm with the SAME seed as the timed run so every ladder tier the
     # timed run spills into is already compiled
-    gen.generate(emotions, seed=0)                   # warmup compile
+    run(emotions, seed=0)                            # warmup compile
 
     out_dir = os.path.join(out_root, 'gen_' + tag)
     os.makedirs(out_dir)
     t0 = time.perf_counter()
-    songs, stats = gen.generate(emotions, seed=0)
+    songs, stats = run(emotions, seed=0)
     n_mid = 0
     for i, song in enumerate(songs):
         if not song:
@@ -110,12 +117,14 @@ def measure(gen, vocab, out_root, tag, info=None):
     }
     if info:
         detail.update(info)
+    policy = (f'{len(songs)} jobs / {BATCH} serve slots' if use_serve
+              else f'B={BATCH} lockstep')
     print(json.dumps({
-        'metric': f'one-stage full_song serving (B={BATCH} bf16 TXL, '
+        'metric': f'one-stage full_song serving ({policy}, bf16 TXL, '
                   f'{MAX_EVENTS}-event budget, device sampling+rules, '
                   f'.mid render incl. file IO, {tag} weights, compile '
                   'excluded)',
-        'value': round(60.0 * BATCH / secs, 2),
+        'value': round(60.0 * len(songs) / secs, 2),
         'unit': 'songs/min/chip',
         'detail': detail,
     }), flush=True)
@@ -154,7 +163,12 @@ def main():
         measure(make_gen(params), vocab, tmp, 'random')
 
         tparams, info = train_fullsong(model, vocab, events_dir)
-        measure(make_gen(cast_params(tparams)), vocab, tmp, 'trained', info)
+        tgen = make_gen(cast_params(tparams))
+        measure(tgen, vocab, tmp, 'trained', info)
+        # continuous batching on the SAME trained weights: full_song EOS
+        # lengths vary most of any serving mode, so refill-on-finish is
+        # at its strongest here
+        measure(tgen, vocab, tmp, 'trained_serve', info, use_serve=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
