@@ -340,3 +340,39 @@ def test_serve_chunk_floor_bounds_host_round_trips():
     # every job completed; a per-finish exit policy would need >= N chunks
     # here, the floored policy needs at most ceil(N/B) + a straggler or two
     assert stats['chunks'] <= N
+
+
+def test_serve_gpt2_backbone_refill():
+    """serve() with the GPT-2 backbone: refilled slots reset t to 0 and
+    overwrite their KV cache before attending (no explicit clear needed);
+    every queued job completes with the generate() structure guarantees."""
+    from emo_disentanger_tpu.models import MusicGPT2
+    vocab = tiny_vocab2()
+    small = dict(n_layer=2, n_head=2, d_model=32, d_ff=64, d_embed=32,
+                 dropout=0.0)
+    model = MusicGPT2(n_token=vocab.size, **small)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.zeros((1, 8), jnp.int32))
+    bar = [vocab.event2idx[e] for e in
+           ['Bar_None', 'Beat_0', 'Chord_I_M', 'Note_Octave_5',
+            'Note_Degree_I', 'Note_Duration_480']]
+    primer = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
+              vocab.event2idx['Tempo_110']]
+    B, N = 2, 5
+    gen = Stage2BatchGenerator(model, params, vocab, batch=B, temp=1.2,
+                               top_p=0.97, max_events=120, max_bar_tokens=32,
+                               max_bars=4, gpt2_cache_len=256,
+                               gpt2_window=128, serve_chunk_steps=32)
+    primers = [primer] * N
+    bars_per = [[list(bar)] * (2 + i % 2) for i in range(N)]
+    streams, stats = gen.serve(primers, bars_per, seed=3)
+    assert len(streams) == N
+    from emo_disentanger_tpu.infer import stage2_batch as s2b
+    for j, stream in enumerate(streams):
+        assert stream is not None, f'job {j} never completed'
+        evs = vocab.decode(stream)
+        assert evs[:3] == vocab.decode(primer)
+        assert evs[3] == 'Track_LeadSheet'
+        assert 'PAD_None' not in evs
+    streams2, _ = gen.serve(primers, bars_per, seed=3)
+    assert streams == streams2
