@@ -25,6 +25,10 @@ def main(argv=None):
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--batch', type=int, default=0,
                         help='songs decoded per device call')
+    parser.add_argument('--serve', default=False, action='store_true',
+                        help='continuous batching: stream ALL jobs through '
+                             '--batch device slots with refill-on-finish '
+                             '(emotion-token mode)')
     args = parser.parse_args(argv)
 
     from ..infer import run_stage1
@@ -34,7 +38,7 @@ def main(argv=None):
                           output_dir=args.output_dir,
                           n_groups=int(args.n_groups),
                           play_midi=args.play_midi, seed=args.seed,
-                          batch_size=args.batch)
+                          batch_size=args.batch, serve=args.serve)
 
 
 if __name__ == '__main__':

@@ -25,6 +25,10 @@ def main(argv=None):
     parser.add_argument('--batch', type=int, default=0,
                         help='device-batched jobs (both backbones; GPT-2 '
                              're-anchors its window inside the device loop)')
+    parser.add_argument('--serve', default=False, action='store_true',
+                        help='continuous batching: stream ALL jobs through '
+                             '--batch device slots with refill-on-finish '
+                             '(faster on mixed-length file sets)')
     args = parser.parse_args(argv)
 
     from ..infer import run_stage2
@@ -33,7 +37,7 @@ def main(argv=None):
                           inference_params=args.inference_params,
                           output_dir=args.output_dir,
                           play_midi=args.play_midi, seed=args.seed,
-                          batch_size=args.batch)
+                          batch_size=args.batch, serve=args.serve)
 
 
 if __name__ == '__main__':

@@ -49,10 +49,15 @@ def run(config_path: str, representation: str, mode: str, *,
         max_events_override: Optional[int] = None,
         max_bars_override: Optional[int] = None,
         prompts: Optional[List] = None,
-        batch_size: int = 0) -> dict:
+        batch_size: int = 0, serve: bool = False) -> dict:
     """``batch_size > 0`` decodes that many songs per device call via
     :class:`..infer.stage1_batch.Stage1BatchGenerator` (emotion-token or
-    prompt-continuation primers)."""
+    prompt-continuation primers).
+
+    ``serve=True`` (with ``batch_size > 0``, emotion-token mode) streams
+    ALL jobs through the ``batch_size`` slots with refill-on-finish
+    (continuous batching, per-element cache clocks) instead of lockstep
+    groups; prompt mode falls back to lockstep."""
     config = load_yaml(config_path)
     params_cfg = MODE_PARAMS[mode]
     functional = representation == 'functional'
@@ -80,7 +85,17 @@ def run(config_path: str, representation: str, mode: str, *,
             jobs.append((group, emotion, out_name))
 
     results = {}   # out_name -> (events, seconds)
-    if batch_size > 0 and jobs:
+    if batch_size > 0 and jobs and serve and prompts is None:
+        from .stage1_batch import Stage1BatchGenerator
+        bgen = Stage1BatchGenerator(
+            model, params, vocab, batch=batch_size,
+            temp=params_cfg['temp'], top_p=params_cfg['top_p'],
+            max_events=max_events, max_bars=max_bars, functional=functional)
+        songs, stats = bgen.serve([j[1] for j in jobs], seed=seed)
+        per = stats['seconds'] / max(len(jobs), 1)
+        for i, (group, emotion, out_name) in enumerate(jobs):
+            results[out_name] = (songs[i], per)
+    elif batch_size > 0 and jobs:
         from .stage1_batch import Stage1BatchGenerator
         bgen = Stage1BatchGenerator(
             model, params, vocab, batch=batch_size,
