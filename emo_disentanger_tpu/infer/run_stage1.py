@@ -54,10 +54,10 @@ def run(config_path: str, representation: str, mode: str, *,
     :class:`..infer.stage1_batch.Stage1BatchGenerator` (emotion-token or
     prompt-continuation primers).
 
-    ``serve=True`` (with ``batch_size > 0``, emotion-token mode) streams
-    ALL jobs through the ``batch_size`` slots with refill-on-finish
-    (continuous batching, per-element cache clocks) instead of lockstep
-    groups; prompt mode falls back to lockstep."""
+    ``serve=True`` (with ``batch_size > 0``) streams ALL jobs through the
+    ``batch_size`` slots with refill-on-finish (continuous batching,
+    per-element cache clocks) instead of lockstep groups — emotion-token
+    AND prompt-continuation jobs."""
     config = load_yaml(config_path)
     params_cfg = MODE_PARAMS[mode]
     functional = representation == 'functional'
@@ -85,13 +85,25 @@ def run(config_path: str, representation: str, mode: str, *,
             jobs.append((group, emotion, out_name))
 
     results = {}   # out_name -> (events, seconds)
-    if batch_size > 0 and jobs and serve and prompts is None:
+    if batch_size > 0 and jobs and serve:
         from .stage1_batch import Stage1BatchGenerator
         bgen = Stage1BatchGenerator(
             model, params, vocab, batch=batch_size,
             temp=params_cfg['temp'], top_p=params_cfg['top_p'],
             max_events=max_events, max_bars=max_bars, functional=functional)
-        songs, stats = bgen.serve([j[1] for j in jobs], seed=seed)
+        kwargs = {}
+        if prompts is not None:
+            primers, targets, pbars = [], [], []
+            for group, emotion, _ in jobs:
+                prompt_evs, n_bars = prompts[group]
+                primers.append(['Emotion_{}'.format(emotion)]
+                               + prompt_evs[1:])
+                targets.append(n_bars)
+                pbars.append(max(0, sum(1 for e in prompt_evs
+                                        if e == 'Bar_None') - 1))
+            kwargs = dict(primers=primers, target_bars=targets,
+                          prompt_bars=pbars)
+        songs, stats = bgen.serve([j[1] for j in jobs], seed=seed, **kwargs)
         per = stats['seconds'] / max(len(jobs), 1)
         for i, (group, emotion, out_name) in enumerate(jobs):
             results[out_name] = (songs[i], per)

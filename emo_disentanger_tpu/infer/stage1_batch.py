@@ -349,10 +349,14 @@ class Stage1BatchGenerator:
 
     def serve(self, emotions: List[str], *, seed: int = 0,
               target_bars=None, chunk_steps: int = 128,
+              primers: Optional[List[List[str]]] = None,
+              prompt_bars: Optional[List[int]] = None,
               ) -> Tuple[List[Optional[List[str]]], dict]:
-        """Continuous batching: N single-emotion jobs stream through the B
-        device slots (the stage-2 ``serve`` design, adapted to stage 1's
-        cache decode).
+        """Continuous batching: N jobs stream through the B device slots
+        (the stage-2 ``serve`` design, adapted to stage 1's cache decode).
+        ``primers``/``prompt_bars`` enable prompt-continuation jobs with
+        the same conventions as :meth:`generate` (N rows, padded to a
+        shared bucketed width; a new width retraces the serve jits once).
 
         The lockstep ``generate`` idles finished slots until the slowest
         song is done — measured idle_frac 0.47 at B=16 under worst-case
@@ -387,10 +391,28 @@ class Stage1BatchGenerator:
             self._serve_chunk = chunk_steps
         init_j, chunk_j, refill_j = self._serve_parts
 
-        prim = np.asarray([[self.vocab.event2idx['Emotion_{}'.format(e)]]
-                           for e in emotions], np.int32)       # [N, 1]
-        plen = np.ones(N, np.int32)
-        pb = np.zeros(N, np.int32)
+        if primers is None:
+            prim = np.asarray([[self.vocab.event2idx['Emotion_{}'.format(e)]]
+                               for e in emotions], np.int32)   # [N, 1]
+            plen = np.ones(N, np.int32)
+            pb = np.zeros(N, np.int32)
+        else:
+            assert len(primers) == N
+            prim_rows = [self.vocab.encode(p) for p in primers]
+            pb = np.asarray(prompt_bars if prompt_bars is not None
+                            else [max(0, sum(1 for e in p if e == 'Bar_None')
+                                      - 1)
+                                  for p in primers], np.int32)
+            longest = max(len(p) for p in prim_rows)
+            assert longest <= self.max_events, 'primer longer than max_events'
+            P = 1 if longest == 1 else min(-(-longest // 64) * 64,
+                                           self.max_events + 8)
+            prim = np.zeros((N, P), np.int32)
+            plen = np.zeros(N, np.int32)
+            for b, row in enumerate(prim_rows):
+                prim[b, :len(row)] = row
+                prim[b, len(row):] = row[-1]
+                plen[b] = len(row)
         want = np.asarray([emotion_wants_major(e) for e in emotions])
         if isinstance(target_bars, (list, tuple, np.ndarray)):
             tb = np.minimum(np.asarray(target_bars, np.int32), self.max_bars)

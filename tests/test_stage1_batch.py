@@ -201,3 +201,34 @@ def test_stage1_serve_continuous_batching():
     assert len(songs3) == 1
     songs4, _ = gen.serve(emotions[:2], seed=7, chunk_steps=16)
     assert len(songs4) == 2
+
+
+def test_stage1_serve_prompt_mode():
+    """serve() prompt-continuation: teacher-forced multi-token primers per
+    job, refill across jobs with different primers."""
+    vocab = tiny_vocab2()
+    model = PlainTransformer(vocab_size=vocab.size, n_layer=2, n_head=2,
+                             d_model=32, d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    gen = Stage1BatchGenerator(model, params, vocab, batch=2, temp=1.2,
+                               top_p=0.97, max_events=40, max_bars=6,
+                               functional=True, reject_slack=128)
+    base = ['Emotion_Q1', 'Key_C', 'Bar_None', 'Beat_0', 'Chord_I_M',
+            'Bar_None']
+    primers = [['Emotion_Q1'] + base[1:],
+               ['Emotion_Q2', 'Key_c'] + base[2:],
+               ['Emotion_Q1'] + base[1:4]]
+    emotions = ['Q1', 'Q2', 'Q1']
+    songs, stats = gen.serve(emotions, seed=3, primers=primers,
+                             prompt_bars=[1, 1, 0], target_bars=[3, 3, 3],
+                             chunk_steps=16)
+    assert len(songs) == 3
+    for p, song in zip(primers, songs):
+        if song is None:
+            continue
+        # the teacher-forced primer must open every stream verbatim
+        assert song[:len(p)] == p
+    songs2, _ = gen.serve(emotions, seed=3, primers=primers,
+                          prompt_bars=[1, 1, 0], target_bars=[3, 3, 3],
+                          chunk_steps=16)
+    assert songs == songs2
