@@ -104,6 +104,50 @@ def main():
             'hbm_bound_ms': round(bound_ms, 3),
             'x_over_bound': round(dt * 1e3 / bound_ms, 2)}), flush=True)
 
+    model_level()
+
+
+def model_level():
+    """The REAL per-step cost: a scan over ``PlainTransformer.decode_step``
+    (full TXL forward incl. the relative-position term, QKV projections,
+    FF, and the cache write) under each plumbed layout — what the batched
+    generator's loop body actually pays.  'khd' is today's production
+    path; 'dk' is the K-in-lanes candidate (ops.attention layout='dk')."""
+    from emo_disentanger_tpu.models import PlainTransformer
+    from emo_disentanger_tpu.utils.precision import cast_params
+    model = PlainTransformer(vocab_size=360, n_layer=LAYERS, n_head=H,
+                             d_model=H * Dh, d_ff=4 * H * Dh,
+                             d_embed=H * Dh, dtype=jnp.bfloat16)
+    params = cast_params(model.init(jax.random.PRNGKey(0),
+                                    jnp.ones((1, 8), jnp.int32)))
+    steps = 128
+
+    for layout in ('khd', 'dk'):
+        def run(tok0, layout=layout):
+            cache = model.apply(params, B, K, layout,
+                                method=PlainTransformer.init_decode_cache)
+
+            def step(carry, t):
+                tok, cache = carry
+                logits, cache = model.apply(
+                    params, tok, t, cache, full_attention=True,
+                    layout=layout, method=PlainTransformer.decode_step)
+                return (jnp.argmax(logits, -1).astype(jnp.int32), cache), ()
+
+            (tok, _), _ = jax.lax.scan(
+                step, (tok0, cache), jnp.arange(steps, dtype=jnp.int32))
+            return tok
+
+        tok0 = jnp.ones((B,), jnp.int32)
+        dt = time_fn(run, tok0)        # secs per 3-rep... time_fn avgs 3
+        ms_per_step = dt * 1e3 / steps
+        print(json.dumps({
+            'metric': f'stage1 decode_step scan layout {layout} '
+                      f'({LAYERS}L/{H * Dh}d, B={B}, Kmax={K}, bf16)',
+            'ms_per_step': round(ms_per_step, 3),
+            'tokens_per_sec': round(B / (ms_per_step / 1e3), 1)}),
+            flush=True)
+
 
 if __name__ == '__main__':
     main()

@@ -29,7 +29,7 @@ def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
                      top_p: float, key_temp: float, key_top_p: float,
                      max_events: int, functional: bool, max_iters: int,
                      max_klen: int, batch: int, full_attention: bool = True,
-                     resume: bool = False):
+                     resume: bool = False, cache_layout: str = 'khd'):
     is_beat = jnp.asarray(tables.is_beat)
     beat_pos = jnp.asarray(tables.beat_pos)
     is_bar = jnp.asarray(tables.is_bar)
@@ -66,7 +66,7 @@ def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
         if resume:
             state = dict(rng_or_state)
             small = state['cache']
-            cache = model.apply(params, batch, max_klen,
+            cache = model.apply(params, batch, max_klen, cache_layout,
                                 method=PlainTransformer.init_decode_cache)
             cache['k'] = jax.lax.dynamic_update_slice(
                 cache['k'], small['k'], (0, 0, 0, 0, 0))
@@ -76,7 +76,7 @@ def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
             state['status'] = jnp.where(state['status'] == STATUS_OVERFLOW,
                                         STATUS_RUNNING, state['status'])
         else:
-            cache = model.apply(params, batch, max_klen,
+            cache = model.apply(params, batch, max_klen, cache_layout,
                                 method=PlainTransformer.init_decode_cache)
             out = jnp.zeros((batch, max_events + 8), dtype=jnp.int32)
             out = jax.lax.dynamic_update_slice(out, primer, (0, 0))
@@ -114,6 +114,7 @@ def _make_batch_loop(model: PlainTransformer, tables, *, temp: float,
             # at any batch and unblocks B=16 stage-1 serving
             logits, cache = model.apply(params, s['last'], s['t'], s['cache'],
                                         full_attention=full_attention,
+                                        layout=cache_layout,
                                         method=PlainTransformer.decode_step)
             t = s['t'] + 1
             rng, sub = jax.random.split(s['rng'])
@@ -198,7 +199,8 @@ class Stage1BatchGenerator:
                  functional: bool = True, reject_slack: int = 1024,
                  fast_slack: Optional[int] = 256,
                  tiers: Optional[List[int]] = None,
-                 full_attention: bool = True):
+                 full_attention: bool = True,
+                 cache_layout: Optional[str] = None):
         """``full_attention=True`` (default) decodes with the whole-cache
         einsum — the compile-safe path on the axon AOT helper at B>=8 (see
         the loop-body comment).  ``False`` selects the chunked flash decode
@@ -223,7 +225,18 @@ class Stage1BatchGenerator:
         even mid-primer just continues in the next tier; useful when the
         expected song length sits far below the event budget, e.g. the
         2400-event full_song mode where most songs EOS under 600).  Each
-        tier's loop compiles lazily on first use."""
+        tier's loop compiles lazily on first use.
+
+        ``cache_layout``: ``'khd'`` ([B, Kmax, H, Dh] caches) or ``'dk'``
+        (K-in-lanes [B, H, Dh, Kmax] — avoids the 4x TPU tile padding on
+        the whole-cache einsum's per-step reads, see
+        ``ops.attention.full_decode_attention``).  Token streams agree up
+        to reduction-order rounding (tested).  Defaults to the
+        ``EMODIS_S1_CACHE_LAYOUT`` env var, else ``'khd'``."""
+        import os as _os
+        if cache_layout is None:
+            cache_layout = _os.environ.get('EMODIS_S1_CACHE_LAYOUT', 'khd')
+        assert cache_layout in ('khd', 'dk'), cache_layout
         self.model = model
         self.params = params
         self.vocab = vocab
@@ -239,6 +252,7 @@ class Stage1BatchGenerator:
         self._functional = functional
         self._serve_parts = None
         self._serve_chunk = None
+        self._cache_layout = cache_layout
         if tiers is None:
             tiers = ([max_events + fast_slack]
                      if fast_slack is not None and fast_slack < reject_slack
@@ -248,7 +262,8 @@ class Stage1BatchGenerator:
         common = dict(temp=temp, top_p=top_p, key_temp=1.1, key_top_p=0.97,
                       max_events=max_events, functional=functional,
                       max_iters=max_events * 2 + 2048, batch=batch,
-                      full_attention=full_attention)
+                      full_attention=full_attention,
+                      cache_layout=cache_layout)
         self._song = _make_batch_loop(model, self.tables, max_klen=klens[0],
                                       **common)
         self._resumes = [_make_batch_loop(model, self.tables, max_klen=k,
@@ -387,7 +402,8 @@ class Stage1BatchGenerator:
                 key_temp=1.1, key_top_p=0.97, max_events=self.max_events,
                 functional=self._functional,
                 max_iters=self.max_events * 2 + 2048, max_klen=full_klen,
-                batch=B, chunk_steps=chunk_steps)
+                batch=B, chunk_steps=chunk_steps,
+                cache_layout=self._cache_layout)
             self._serve_chunk = chunk_steps
         init_j, chunk_j, refill_j = self._serve_parts
 
@@ -513,7 +529,8 @@ STATUS_IDLE = 4          # serve(): slot has no job (queue exhausted)
 def _make_serve_parts(model: PlainTransformer, tables, *, temp: float,
                       top_p: float, key_temp: float, key_top_p: float,
                       max_events: int, functional: bool, max_iters: int,
-                      max_klen: int, batch: int, chunk_steps: int):
+                      max_klen: int, batch: int, chunk_steps: int,
+                      cache_layout: str = 'khd'):
     """Compiled pieces of stage-1 CONTINUOUS BATCHING.
 
     The lockstep loop shares ONE cache write clock (every element appends
@@ -551,7 +568,7 @@ def _make_serve_parts(model: PlainTransformer, tables, *, temp: float,
 
     def init(params, primer, primer_len, prompt_bars, target_bars,
              want_major, rng):
-        cache = model.apply(params, batch, max_klen,
+        cache = model.apply(params, batch, max_klen, cache_layout,
                             method=PlainTransformer.init_decode_cache)
         return dict(
             cache=cache,
@@ -579,7 +596,7 @@ def _make_serve_parts(model: PlainTransformer, tables, *, temp: float,
     def body(s):
         P = s['primer'].shape[1]
         logits, cache = model.apply(params_ref[0], s['last'], s['t'],
-                                    s['cache'],
+                                    s['cache'], layout=cache_layout,
                                     method=PlainTransformer.decode_step_pe)
         t = s['t'] + 1
         rng, sub = jax.random.split(s['rng'])

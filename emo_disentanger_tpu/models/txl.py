@@ -107,7 +107,8 @@ class TXLSelfAttention(nn.Module):
         return self.layer_norm(x + out)
 
     def decode_step(self, x, t, layer_idx, k_all, v_all, r_heads,
-                    r_w_bias, r_r_bias, full_attention: bool = False):
+                    r_w_bias, r_r_bias, full_attention: bool = False,
+                    layout: str = 'khd'):
         """Single-token step.  x [B,1,D]; t scalar write index;
         k_all/v_all [n_layer,B,Kmax,H,Dh] (updated IN PLACE at
         [layer_idx,:,t] so the whole-cache buffer aliases through scan
@@ -115,27 +116,42 @@ class TXLSelfAttention(nn.Module):
         r_heads [Kmax,H,Dh] where r_heads[d] = r_net(PE(d)).
         ``full_attention`` swaps the chunked flash decode for a
         whole-cache einsum (see ``ops.attention.full_decode_attention``).
+        ``layout='dk'`` (full attention only) takes the K-in-lanes cache
+        [n_layer,B,H,Dh,Kmax] / r_heads [Kmax... -> H,Dh,Kmax] produced by
+        ``init_decode_cache(layout='dk')`` — zero tile padding on the
+        per-step cache reads (see ``ops.attention``).
         Returns (out [B,1,D], k_all, v_all).
         """
         B = x.shape[0]
-        Kmax = k_all.shape[2]
         inp = self.layer_norm(x) if self.pre_lnorm else x
         q, k, v = jnp.split(self.qkv_net(inp), 3, axis=-1)
         q = q.reshape(B, self.n_head, self.d_head)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k.reshape(1, B, 1, self.n_head, self.d_head),
-            (layer_idx, 0, t, 0, 0))
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v.reshape(1, B, 1, self.n_head, self.d_head),
-            (layer_idx, 0, t, 0, 0))
+        if layout == 'dk':
+            assert full_attention, "layout='dk' implies the whole-cache path"
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k.reshape(1, B, self.n_head, self.d_head, 1),
+                (layer_idx, 0, 0, 0, t))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v.reshape(1, B, self.n_head, self.d_head, 1),
+                (layer_idx, 0, 0, 0, t))
+        else:
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k.reshape(1, B, 1, self.n_head, self.d_head),
+                (layer_idx, 0, t, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v.reshape(1, B, 1, self.n_head, self.d_head),
+                (layer_idx, 0, t, 0, 0))
         k_cache = k_all[layer_idx]
         v_cache = v_all[layer_idx]
 
         # flash-style chunked attention over the live prefix only, with the
         # TXL relative-position term folded in per chunk
         from ..ops.attention import flash_decode_attention, full_decode_attention
-        attn_fn = full_decode_attention if full_attention \
-            else flash_decode_attention
+        if full_attention:
+            attn_fn = lambda *a, **kw: full_decode_attention(  # noqa: E731
+                *a, layout=layout, **kw)
+        else:
+            attn_fn = flash_decode_attention
         out = attn_fn(
             q + r_w_bias.astype(q.dtype), k_cache, v_cache, t,
             scale=1.0 / (self.d_head ** 0.5),
@@ -147,7 +163,7 @@ class TXLSelfAttention(nn.Module):
         return attn_out, k_all, v_all
 
     def decode_step_pe(self, x, t, layer_idx, k_all, v_all, r_heads,
-                       r_w_bias, r_r_bias):
+                       r_w_bias, r_r_bias, layout: str = 'khd'):
         """:meth:`decode_step` with a PER-ELEMENT clock ``t`` [B].
 
         Continuous batching (``Stage1BatchGenerator.serve``) refills slots
@@ -155,16 +171,23 @@ class TXLSelfAttention(nn.Module):
         a vmapped per-row ``dynamic_update_slice`` (the same pattern the
         GPT-2 decode uses, ``gpt2.py write``) and the per-element-mask
         whole-cache attention.  With ``t`` uniform this is bitwise the
-        shared-clock ``full_attention=True`` step (tested)."""
+        shared-clock ``full_attention=True`` step (tested).  ``layout``
+        as in :meth:`decode_step`."""
         B = x.shape[0]
         inp = self.layer_norm(x) if self.pre_lnorm else x
         q, k, v = jnp.split(self.qkv_net(inp), 3, axis=-1)
         q = q.reshape(B, self.n_head, self.d_head)
 
-        def write(cache_layer, new_row):
-            return jax.vmap(
-                lambda c, kk, tb: jax.lax.dynamic_update_slice(
-                    c, kk[None], (tb, 0, 0)))(cache_layer, new_row, t)
+        if layout == 'dk':
+            def write(cache_layer, new_row):
+                return jax.vmap(
+                    lambda c, kk, tb: jax.lax.dynamic_update_slice(
+                        c, kk[..., None], (0, 0, tb)))(cache_layer, new_row, t)
+        else:
+            def write(cache_layer, new_row):
+                return jax.vmap(
+                    lambda c, kk, tb: jax.lax.dynamic_update_slice(
+                        c, kk[None], (tb, 0, 0)))(cache_layer, new_row, t)
 
         k_all = k_all.at[layer_idx].set(
             write(k_all[layer_idx], k.reshape(B, self.n_head, self.d_head)))
@@ -175,7 +198,7 @@ class TXLSelfAttention(nn.Module):
         out = full_decode_attention_pe(
             q + r_w_bias.astype(q.dtype), k_all[layer_idx], v_all[layer_idx],
             t, scale=1.0 / (self.d_head ** 0.5),
-            rel=(q + r_r_bias.astype(q.dtype), r_heads))
+            rel=(q + r_r_bias.astype(q.dtype), r_heads), layout=layout)
         out = self.o_net(out.reshape(B, 1, self.n_head * self.d_head))
         attn_out = x + out
         if not self.pre_lnorm:
@@ -238,17 +261,19 @@ class TXLLayer(nn.Module):
         return self.ff(x, deterministic=deterministic)
 
     def decode_step(self, x, t, layer_idx, k_all, v_all, r_heads,
-                    r_w_bias, r_r_bias, full_attention: bool = False):
+                    r_w_bias, r_r_bias, full_attention: bool = False,
+                    layout: str = 'khd'):
         x, k_all, v_all = self.attn.decode_step(
             x, t, layer_idx, k_all, v_all, r_heads, r_w_bias, r_r_bias,
-            full_attention=full_attention)
+            full_attention=full_attention, layout=layout)
         x = self.ff(x, deterministic=True)
         return x, k_all, v_all
 
     def decode_step_pe(self, x, t, layer_idx, k_all, v_all, r_heads,
-                       r_w_bias, r_r_bias):
+                       r_w_bias, r_r_bias, layout: str = 'khd'):
         x, k_all, v_all = self.attn.decode_step_pe(
-            x, t, layer_idx, k_all, v_all, r_heads, r_w_bias, r_r_bias)
+            x, t, layer_idx, k_all, v_all, r_heads, r_w_bias, r_r_bias,
+            layout=layout)
         x = self.ff(x, deterministic=True)
         return x, k_all, v_all
 
@@ -351,18 +376,37 @@ class PlainTransformer(nn.Module):
         return logits, new_mems
 
     # ------------------------------------------------------------ decode
-    def init_decode_cache(self, batch: int, max_klen: int) -> Dict[str, Any]:
-        """Allocate the per-layer KV cache and distance-indexed position heads."""
-        k_cache = jnp.zeros((self.n_layer, batch, max_klen, self.n_head, self.d_head),
-                            dtype=self.dtype)
+    def init_decode_cache(self, batch: int, max_klen: int,
+                          layout: str = 'khd') -> Dict[str, Any]:
+        """Allocate the per-layer KV cache and distance-indexed position heads.
+
+        ``layout='khd'`` (default): caches [n_layer, B, Kmax, H, Dh] and
+        r_heads [n_layer, Kmax, H, Dh].  ``layout='dk'``: K-in-lanes caches
+        [n_layer, B, H, Dh, Kmax] / r_heads [n_layer, H, Dh, Kmax] — the
+        (H, Dh) trailing dims of 'khd' tile-pad 4x on TPU HBM (H=8 -> 16
+        sublanes, Dh=64 -> 128 lanes for bf16), which the whole-cache
+        einsum decode pays on EVERY step; 'dk' trailing (Dh, Kmax) tiles
+        cleanly.  Callers must pass the same ``layout`` to
+        ``decode_step`` / ``decode_step_pe``."""
+        if layout == 'dk':
+            k_cache = jnp.zeros((self.n_layer, batch, self.n_head,
+                                 self.d_head, max_klen), dtype=self.dtype)
+            r_heads = jnp.stack(
+                [self.layers[i].attn.rel_heads(max_klen).transpose(1, 2, 0)
+                 for i in range(self.n_layer)])
+        else:
+            k_cache = jnp.zeros((self.n_layer, batch, max_klen, self.n_head,
+                                 self.d_head), dtype=self.dtype)
+            r_heads = jnp.stack(
+                [self.layers[i].attn.rel_heads(max_klen)
+                 for i in range(self.n_layer)])
         v_cache = jnp.zeros_like(k_cache)
-        r_heads = jnp.stack(
-            [self.layers[i].attn.rel_heads(max_klen) for i in range(self.n_layer)])
         return {'k': k_cache, 'v': v_cache, 'r': r_heads}
 
     def decode_step(self, token: jax.Array, t: jax.Array,
                     cache: Dict[str, Any],
                     full_attention: Optional[bool] = None,
+                    layout: str = 'khd',
                     ) -> Tuple[jax.Array, Dict[str, Any]]:
         """token [B] int32, t scalar position -> (logits [B, V], cache).
 
@@ -372,20 +416,24 @@ class PlainTransformer(nn.Module):
         flash 7.6k vs einsum 4.7k tok/s; B=32 flash 5.0k vs einsum 7.5k).
         Pass an explicit bool to pin a path (the batched generator pins the
         einsum — its while_loop cannot compile the flash path at B>=8 on
-        the axon AOT helper)."""
-        if full_attention is None:
+        the axon AOT helper).  ``layout`` must match the cache's
+        (``init_decode_cache``); 'dk' implies the whole-cache path."""
+        if layout == 'dk':
+            full_attention = True
+        elif full_attention is None:
             full_attention = token.shape[0] >= 32
         h = self.word_emb(token[:, None])
         k_all, v_all = cache['k'], cache['v']
         for idx, layer in enumerate(self.layers):
             h, k_all, v_all = layer.decode_step(
                 h, t, idx, k_all, v_all, cache['r'][idx],
-                self.r_w_bias, self.r_r_bias, full_attention=full_attention)
+                self.r_w_bias, self.r_r_bias, full_attention=full_attention,
+                layout=layout)
         logits = self.out_proj(h.astype(jnp.float32))[:, 0]
         return logits, {'k': k_all, 'v': v_all, 'r': cache['r']}
 
     def decode_step_pe(self, token: jax.Array, t: jax.Array,
-                       cache: Dict[str, Any],
+                       cache: Dict[str, Any], layout: str = 'khd',
                        ) -> Tuple[jax.Array, Dict[str, Any]]:
         """:meth:`decode_step` with PER-ELEMENT positions ``t`` [B] —
         the continuous-batching decode (see the layer method)."""
@@ -394,7 +442,7 @@ class PlainTransformer(nn.Module):
         for idx, layer in enumerate(self.layers):
             h, k_all, v_all = layer.decode_step_pe(
                 h, t, idx, k_all, v_all, cache['r'][idx],
-                self.r_w_bias, self.r_r_bias)
+                self.r_w_bias, self.r_r_bias, layout=layout)
         logits = self.out_proj(h.astype(jnp.float32))[:, 0]
         return logits, {'k': k_all, 'v': v_all, 'r': cache['r']}
 

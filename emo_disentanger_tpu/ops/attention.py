@@ -95,12 +95,13 @@ def flash_decode_attention(
 
 def full_decode_attention(
     q: jax.Array,              # [B, H, Dh]
-    k_cache: jax.Array,        # [B, Kmax, H, Dh]
+    k_cache: jax.Array,        # [B, Kmax, H, Dh]  (layout='khd')
     v_cache: jax.Array,        # [B, Kmax, H, Dh]
     t: jax.Array,              # scalar position
     *,
     scale: float,
     rel: Optional[Tuple[jax.Array, jax.Array]] = None,
+    layout: str = 'khd',
 ) -> jax.Array:
     """Whole-padded-cache masked attention — same function as
     :func:`flash_decode_attention` without the dynamic-trip ``fori_loop``.
@@ -112,7 +113,21 @@ def full_decode_attention(
     padded cache each step wastes early-song HBM bandwidth but keeps the
     loop body a single fused einsum chain the compiler handles at any
     batch; the batched stage-1 generator uses this path.
+
+    ``layout`` selects the cache memory layout:
+
+    * ``'khd'`` — caches ``[B, Kmax, H, Dh]``, ``rel[1]`` (r_heads)
+      ``[Kmax, H, Dh]``.  TPU tiles the last two dims to (8|16, 128), so
+      (H=8, Dh=64) pads every cache read 4x in HBM.
+    * ``'dk'`` — caches ``[B, H, Dh, Kmax]``, r_heads ``[H, Dh, Kmax]``
+      (K in lanes: (Dh=64, Kmax=128n) tiles with zero padding).  Same
+      math — scores/probs/output agree with 'khd' to reduction-order
+      rounding (tested) — but the per-step HBM traffic matches the
+      logical cache size.
     """
+    if layout == 'dk':
+        return _full_decode_attention_dk(q, k_cache, v_cache, t,
+                                         scale=scale, rel=rel)
     B, Kmax, H, Dh = k_cache.shape
     # dtype-preserving dots with f32 accumulation: upcasting the whole
     # padded cache (`k_cache.astype(f32)`) materialized 2x-width copies of
@@ -140,6 +155,40 @@ def full_decode_attention(
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def _full_decode_attention_dk(
+    q: jax.Array,              # [B, H, Dh]
+    k_cache: jax.Array,        # [B, H, Dh, Kmax]
+    v_cache: jax.Array,        # [B, H, Dh, Kmax]
+    t: jax.Array,              # scalar position
+    *,
+    scale: float,
+    rel: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> jax.Array:
+    """K-in-lanes body of :func:`full_decode_attention` (layout='dk').
+
+    The TXL relative term is computed as ``rq_all[b,h,k] = rr_q .
+    r_heads[:, :, k]`` for every distance row and then gathered at
+    ``dist[j] = t - j`` — the same dots as the gather-then-einsum of the
+    'khd' body (each BD entry is the identical 64-wide contraction), but
+    the gather moves [B, H, K] f32 scores instead of [K, H, Dh] rows, and
+    reading r_heads as [H, Dh, K] avoids the same 4x tile padding the
+    cache reads avoid."""
+    B, H, Dh, Kmax = k_cache.shape
+    s = jnp.einsum('bhd,bhdj->bhj', q, k_cache,
+                   preferred_element_type=jnp.float32)
+    if rel is not None:
+        rr_q, r_heads = rel               # r_heads [H, Dh, Kmax]
+        rq_all = jnp.einsum('bhd,hdk->bhk', rr_q.astype(r_heads.dtype),
+                            r_heads, preferred_element_type=jnp.float32)
+        dist = jnp.clip(t - jnp.arange(Kmax), 0, r_heads.shape[-1] - 1)
+        s = s + jnp.take(rq_all, dist, axis=-1)
+    s = s * scale
+    s = jnp.where((jnp.arange(Kmax) > t)[None, None, :], NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum('bhj,bhdj->bhd', p.astype(v_cache.dtype), v_cache,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 def full_decode_attention_pe(
     q: jax.Array,              # [B, H, Dh]
     k_cache: jax.Array,        # [B, Kmax, H, Dh]
@@ -148,6 +197,7 @@ def full_decode_attention_pe(
     *,
     scale: float,
     rel: Optional[Tuple[jax.Array, jax.Array]] = None,
+    layout: str = 'khd',
 ) -> jax.Array:
     """:func:`full_decode_attention` with a PER-ELEMENT clock.
 
@@ -161,16 +211,33 @@ def full_decode_attention_pe(
     for EVERY distance row (``rq_all[b,h,D] = rr_q . r_heads[D]`` — the
     same FLOPs as the shared-clock einsum against the gathered rows) and
     gathering ``BD[b,h,j] = rq_all[b,h,t_b - j]`` with ``take_along_axis``
-    instead of relying on one shared distance vector."""
-    B, Kmax, H, Dh = k_cache.shape
-    s = jnp.einsum('bhd,bjhd->bhj', q, k_cache,
-                   preferred_element_type=jnp.float32)
+    instead of relying on one shared distance vector.
+
+    ``layout='dk'`` takes caches ``[B, H, Dh, Kmax]`` and r_heads
+    ``[H, Dh, Kmax]`` (see :func:`full_decode_attention`)."""
+    if layout == 'dk':
+        B, H, Dh, Kmax = k_cache.shape
+        s = jnp.einsum('bhd,bhdj->bhj', q, k_cache,
+                       preferred_element_type=jnp.float32)
+        r_rows = None if rel is None else rel[1].shape[-1]
+        vdot = lambda p: jnp.einsum(          # noqa: E731
+            'bhj,bhdj->bhd', p.astype(v_cache.dtype), v_cache,
+            preferred_element_type=jnp.float32)
+    else:
+        B, Kmax, H, Dh = k_cache.shape
+        s = jnp.einsum('bhd,bjhd->bhj', q, k_cache,
+                       preferred_element_type=jnp.float32)
+        r_rows = None if rel is None else rel[1].shape[0]
+        vdot = lambda p: jnp.einsum(          # noqa: E731
+            'bhj,bjhd->bhd', p.astype(v_cache.dtype), v_cache,
+            preferred_element_type=jnp.float32)
     if rel is not None:
         rr_q, r_heads = rel
-        rq_all = jnp.einsum('bhd,khd->bhk', rr_q.astype(r_heads.dtype),
-                            r_heads, preferred_element_type=jnp.float32)
+        rq_all = jnp.einsum('bhd,khd->bhk' if layout != 'dk' else 'bhd,hdk->bhk',
+                            rr_q.astype(r_heads.dtype), r_heads,
+                            preferred_element_type=jnp.float32)
         dist = jnp.clip(t[:, None] - jnp.arange(Kmax)[None, :], 0,
-                        r_heads.shape[0] - 1).astype(jnp.int32)
+                        r_rows - 1).astype(jnp.int32)
         bd = jnp.take_along_axis(
             rq_all, jnp.broadcast_to(dist[:, None, :], (B, H, Kmax)), axis=-1)
         s = s + bd
@@ -178,5 +245,4 @@ def full_decode_attention_pe(
     s = jnp.where(jnp.arange(Kmax)[None, None, :] > t[:, None, None],
                   NEG_INF, s)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum('bhj,bjhd->bhd', p.astype(v_cache.dtype), v_cache,
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+    return vdot(p).astype(q.dtype)
