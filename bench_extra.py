@@ -57,7 +57,10 @@ def bench_performer(batch):
     return batch * _time_scan(jax.jit(run), jnp.ones((batch,), jnp.int32), STEPS)
 
 
-def bench_gpt2(batch, cache_len=2048):
+def bench_gpt2(batch, cache_len=2048, layout=None):
+    # layout: KV-cache memory layout ('khd' | 'dk'); default from
+    # EMODIS_S2_CACHE_LAYOUT so the chip A/B is an env flip
+    layout = layout or os.environ.get('EMODIS_S2_CACHE_LAYOUT', 'khd')
     from emo_disentanger_tpu.models import MusicGPT2
     from emo_disentanger_tpu.utils.precision import cast_params
     model = MusicGPT2(n_token=VOCAB, n_layer=12, n_head=8, d_model=512,
@@ -67,13 +70,14 @@ def bench_gpt2(batch, cache_len=2048):
                                     jnp.zeros((1, 8), jnp.int32)))
 
     def run(tok0):
-        cache = model.apply(params, batch, cache_len,
+        cache = model.apply(params, batch, cache_len, layout,
                             method=MusicGPT2.init_decode_cache)
 
         def step(carry, t):
             tok, cache = carry
             logits, cache = model.apply(params, tok, jnp.zeros_like(tok), t,
-                                        cache, method=MusicGPT2.decode_step)
+                                        cache, layout=layout,
+                                        method=MusicGPT2.decode_step)
             return (jnp.argmax(logits, -1).astype(jnp.int32), cache), ()
 
         (tok, _), _ = jax.lax.scan(step, (tok0, cache),
@@ -83,7 +87,10 @@ def bench_gpt2(batch, cache_len=2048):
     return batch * _time_scan(jax.jit(run), jnp.ones((batch,), jnp.int32), STEPS)
 
 
-def bench_txl(batch, cache_len=1536):
+def bench_txl(batch, cache_len=1536, layout=None):
+    # layout 'dk' forces the whole-cache einsum (K-in-lanes); 'khd' keeps
+    # the measured batch-based flash/einsum auto-select
+    layout = layout or os.environ.get('EMODIS_S1_CACHE_LAYOUT', 'khd')
     from emo_disentanger_tpu.models import PlainTransformer
     from emo_disentanger_tpu.utils.precision import cast_params
     model = PlainTransformer(vocab_size=VOCAB, n_layer=12, n_head=8,
@@ -93,12 +100,13 @@ def bench_txl(batch, cache_len=1536):
                                     jnp.ones((1, 8), jnp.int32)))
 
     def run(tok0):
-        cache = model.apply(params, batch, cache_len,
+        cache = model.apply(params, batch, cache_len, layout,
                             method=PlainTransformer.init_decode_cache)
 
         def step(carry, t):
             tok, cache = carry
             logits, cache = model.apply(params, tok, t, cache,
+                                        layout=layout,
                                         method=PlainTransformer.decode_step)
             return (jnp.argmax(logits, -1).astype(jnp.int32), cache), ()
 

@@ -64,10 +64,20 @@ class Stage2BatchGenerator:
                  max_bars: int = 128, gpt2_cache_len: int = 4096,
                  gpt2_window: int = 2048, reanchor_margin: int = 256,
                  serve_chunk_steps: int = 192,
-                 omegas: Optional[jax.Array] = None):
+                 omegas: Optional[jax.Array] = None,
+                 cache_layout: Optional[str] = None):
         self.is_performer = isinstance(model, MusicPerformer)
         if self.is_performer and omegas is None:
             raise ValueError('Performer decoding needs drawn omegas')
+        # GPT-2 KV-cache memory layout: 'khd' ([B,Kmax,H,Dh], default)
+        # or 'dk' (K-in-lanes [B,H,Dh,Kmax] -- avoids the 4x TPU tile
+        # padding on per-step cache reads, see models.gpt2).  Ignored
+        # for the Performer (its decode carries (S, z), not a KV cache).
+        import os as _os
+        if cache_layout is None:
+            cache_layout = _os.environ.get('EMODIS_S2_CACHE_LAYOUT', 'khd')
+        assert cache_layout in ('khd', 'dk'), cache_layout
+        self.cache_layout = cache_layout
         self.gpt2_cache_len = gpt2_cache_len
         self.gpt2_window = gpt2_window
         self.reanchor_margin = reanchor_margin
@@ -136,8 +146,17 @@ class Stage2BatchGenerator:
                                                  return_kv=True)
             new_logits = logits_full[jnp.arange(B), keep_len - 1]
             padc = self.gpt2_cache_len - W
-            k = jnp.pad(k, ((0, 0), (0, 0), (0, padc), (0, 0), (0, 0)))
-            v = jnp.pad(v, ((0, 0), (0, 0), (0, padc), (0, 0), (0, 0)))
+            if self.cache_layout == 'dk':
+                # [L,B,W,H,Dh] -> K-in-lanes [L,B,H,Dh,W], pad K last.
+                # A one-off transpose per re-anchor (every ~W tokens) is
+                # noise next to the per-step cache-read savings
+                k = jnp.pad(k.transpose(0, 1, 3, 4, 2),
+                            ((0, 0), (0, 0), (0, 0), (0, 0), (0, padc)))
+                v = jnp.pad(v.transpose(0, 1, 3, 4, 2),
+                            ((0, 0), (0, 0), (0, 0), (0, 0), (0, padc)))
+            else:
+                k = jnp.pad(k, ((0, 0), (0, 0), (0, padc), (0, 0), (0, 0)))
+                v = jnp.pad(v, ((0, 0), (0, 0), (0, padc), (0, 0), (0, 0)))
             flag = s['need_re']
             fsel = flag.reshape((1, B, 1, 1, 1))
             state = {
@@ -176,6 +195,7 @@ class Stage2BatchGenerator:
             # GPT-2: rejected elements overwrite the same cache slot on the
             # next step before attending, so no select is needed either
             return self.model.apply(self.params, token, seg, t, state,
+                                    layout=self.cache_layout,
                                     method=MusicGPT2.decode_step_batchpos)
 
         def init_state(inj_tokens, inj_segs, inj_len, primer, primer_len,
@@ -187,6 +207,7 @@ class Stage2BatchGenerator:
                                          method=MusicPerformer.init_decode_state)
             else:
                 state = self.model.apply(self.params, B, self.gpt2_cache_len,
+                                         self.cache_layout,
                                          method=MusicGPT2.init_decode_cache)
             out = jnp.zeros((B, self.max_events + 8), jnp.int32)
             out = jax.lax.dynamic_update_slice(out, primer, (0, 0))

@@ -96,20 +96,32 @@ class GPT2Block(nn.Module):
             return out, k, v
         return out
 
-    def decode_step(self, x, t, layer_idx, k_all, v_all):
+    def decode_step(self, x, t, layer_idx, k_all, v_all,
+                    layout: str = 'khd'):
         """x [B,1,D]; k_all/v_all [n_layer,B,Kmax,H,Dh] updated in place at
-        [layer_idx,:,t] (buffer aliases through scan carries)."""
+        [layer_idx,:,t] (buffer aliases through scan carries).
+        ``layout='dk'`` takes K-in-lanes caches [n_layer,B,H,Dh,Kmax] —
+        the 'khd' trailing (H, Dh) dims tile-pad every per-step cache
+        read 4x on TPU (see ``ops.attention.full_decode_attention``)."""
         B = x.shape[0]
-        Kmax = k_all.shape[2]
+        Kmax = k_all.shape[-1] if layout == 'dk' else k_all.shape[2]
         h = self.ln_1(x)
         q, k, v = jnp.split(self.c_attn(h), 3, axis=-1)
         q = q.reshape(B, self.n_head, self.d_head)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k.reshape(1, B, 1, self.n_head, self.d_head),
-            (layer_idx, 0, t, 0, 0))
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v.reshape(1, B, 1, self.n_head, self.d_head),
-            (layer_idx, 0, t, 0, 0))
+        if layout == 'dk':
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k.reshape(1, B, self.n_head, self.d_head, 1),
+                (layer_idx, 0, 0, 0, t))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v.reshape(1, B, self.n_head, self.d_head, 1),
+                (layer_idx, 0, 0, 0, t))
+        else:
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k.reshape(1, B, 1, self.n_head, self.d_head),
+                (layer_idx, 0, t, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v.reshape(1, B, 1, self.n_head, self.d_head),
+                (layer_idx, 0, t, 0, 0))
         k_cache = k_all[layer_idx]
         v_cache = v_all[layer_idx]
 
@@ -118,12 +130,14 @@ class GPT2Block(nn.Module):
         # v5e; the TXL layer uses ops.attention.flash_decode_attention
         # because its relative-position term also scales with cache length)
         scale = 1.0 / (self.d_head ** 0.5)
-        scores = jnp.einsum('bhd,bjhd->bhj', q, k_cache) * scale
+        eq_s = 'bhd,bhdj->bhj' if layout == 'dk' else 'bhd,bjhd->bhj'
+        eq_v = 'bhj,bhdj->bhd' if layout == 'dk' else 'bhj,bjhd->bhd'
+        scores = jnp.einsum(eq_s, q, k_cache) * scale
         positions = jnp.arange(Kmax)
         scores = jnp.where((positions > t)[None, None, :], NEG_INF, scores)
         probs = jax.nn.softmax(scores.astype(jnp.float32),
                                axis=-1).astype(scores.dtype)
-        attn = jnp.einsum('bhj,bjhd->bhd', probs, v_cache)
+        attn = jnp.einsum(eq_v, probs, v_cache)
         attn = attn.reshape(B, 1, self.d_model)
         x = x + self.attn_proj(attn)
 
@@ -200,13 +214,21 @@ class MusicGPT2(nn.Module):
         return logits
 
     # ------------------------------------------------------------ decode
-    def init_decode_cache(self, batch: int, max_klen: int) -> Dict[str, jax.Array]:
-        k = jnp.zeros((self.n_layer, batch, max_klen, self.n_head, self.d_head),
-                      dtype=self.dtype)
+    def init_decode_cache(self, batch: int, max_klen: int,
+                          layout: str = 'khd') -> Dict[str, jax.Array]:
+        """``layout='khd'``: [n_layer, B, Kmax, H, Dh].  ``'dk'``:
+        K-in-lanes [n_layer, B, H, Dh, Kmax] (clean TPU tiles; see
+        ``PlainTransformer.init_decode_cache``)."""
+        if layout == 'dk':
+            k = jnp.zeros((self.n_layer, batch, self.n_head, self.d_head,
+                           max_klen), dtype=self.dtype)
+        else:
+            k = jnp.zeros((self.n_layer, batch, max_klen, self.n_head,
+                           self.d_head), dtype=self.dtype)
         return {'k': k, 'v': jnp.zeros_like(k)}
 
     def decode_step(self, token: jax.Array, seg: jax.Array, t: jax.Array,
-                    cache: Dict[str, jax.Array],
+                    cache: Dict[str, jax.Array], layout: str = 'khd',
                     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         emb = self.token_emb(token[:, None])
         if self.use_segment_emb:
@@ -217,17 +239,20 @@ class MusicGPT2(nn.Module):
         h = emb
         k_all, v_all = cache['k'], cache['v']
         for i, block in enumerate(self.blocks):
-            h, k_all, v_all = block.decode_step(h, t, i, k_all, v_all)
+            h, k_all, v_all = block.decode_step(h, t, i, k_all, v_all,
+                                                layout=layout)
         logits = self.out_proj(h.astype(jnp.float32))[:, 0]
         return logits, {'k': k_all, 'v': v_all}
 
     def decode_step_batchpos(self, token: jax.Array, seg: jax.Array,
                              t: jax.Array, cache: Dict[str, jax.Array],
+                             layout: str = 'khd',
                              ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Like :meth:`decode_step` but with PER-ELEMENT positions ``t`` [B]:
         each song writes its cache row at its own clock (batched generation).
         No window re-anchoring — songs longer than the cache end with an
-        overflow status in the generator."""
+        overflow status in the generator.  ``layout`` must match the
+        cache's (:meth:`init_decode_cache`)."""
         emb = self.token_emb(token[:, None])
         if self.use_segment_emb:
             emb = emb + self.segemb(seg[:, None])
@@ -238,13 +263,21 @@ class MusicGPT2(nn.Module):
         h = emb
         k_all, v_all = cache['k'], cache['v']
         B = token.shape[0]
-        Kmax = k_all.shape[2]
+        Kmax = k_all.shape[-1] if layout == 'dk' else k_all.shape[2]
         positions = jnp.arange(Kmax)
+        eq_s = 'bhd,bhdj->bhj' if layout == 'dk' else 'bhd,bjhd->bhj'
+        eq_v = 'bhj,bhdj->bhd' if layout == 'dk' else 'bhj,bjhd->bhd'
 
-        def write(cache_layer, new_row):
-            return jax.vmap(
-                lambda c, kk, tb: jax.lax.dynamic_update_slice(
-                    c, kk[None], (tb, 0, 0)))(cache_layer, new_row, t)
+        if layout == 'dk':
+            def write(cache_layer, new_row):
+                return jax.vmap(
+                    lambda c, kk, tb: jax.lax.dynamic_update_slice(
+                        c, kk[..., None], (0, 0, tb)))(cache_layer, new_row, t)
+        else:
+            def write(cache_layer, new_row):
+                return jax.vmap(
+                    lambda c, kk, tb: jax.lax.dynamic_update_slice(
+                        c, kk[None], (tb, 0, 0)))(cache_layer, new_row, t)
 
         for i, block in enumerate(self.blocks):
             hh = block.ln_1(h)
@@ -256,12 +289,12 @@ class MusicGPT2(nn.Module):
             v_all = v_all.at[i].set(v_layer)
 
             scale = 1.0 / (self.d_head ** 0.5)
-            scores = jnp.einsum('bhd,bjhd->bhj', q, k_layer) * scale
+            scores = jnp.einsum(eq_s, q, k_layer) * scale
             scores = jnp.where((positions[None] > t[:, None])[:, None, :],
                                NEG_INF, scores)
             probs = jax.nn.softmax(scores.astype(jnp.float32),
                                    axis=-1).astype(scores.dtype)
-            attn = jnp.einsum('bhj,bjhd->bhd', probs, v_layer)
+            attn = jnp.einsum(eq_v, probs, v_layer)
             h = h + block.attn_proj(attn.reshape(B, 1, self.d_model))
             hh = block.ln_2(h)
             h = h + block.mlp_proj(nn.gelu(block.c_fc(hh), approximate=True))

@@ -123,3 +123,87 @@ def test_serve_dk_layout():
             assert song is None
             continue
         assert song is not None and song[0] == 'Emotion_{}'.format(e)
+
+
+# ---------------------------------------------------------------- GPT-2
+
+def _tiny_gpt2():
+    from emo_disentanger_tpu.models import MusicGPT2
+    model = MusicGPT2(n_token=30, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.zeros((1, 8), jnp.int32))
+    return model, params
+
+
+def test_gpt2_decode_layouts_match():
+    """Shared-clock and per-element GPT-2 decode: logits agree across
+    cache layouts."""
+    from emo_disentanger_tpu.models import MusicGPT2
+    model, params = _tiny_gpt2()
+    B, K, steps = 3, 32, 16
+    toks = jax.random.randint(jax.random.PRNGKey(2), (steps, B), 0, 30)
+    segs = jnp.zeros((B,), jnp.int32)
+
+    for method, t0 in ((MusicGPT2.decode_step, lambda: jnp.int32(0)),
+                       (MusicGPT2.decode_step_batchpos,
+                        lambda: jnp.arange(B, dtype=jnp.int32))):
+        outs = {}
+        for layout in ('khd', 'dk'):
+            cache = model.apply(params, B, K, layout,
+                                method=MusicGPT2.init_decode_cache)
+            t = t0()
+            seq = []
+            for i in range(steps):
+                logits, cache = model.apply(params, toks[i], segs, t, cache,
+                                            layout=layout, method=method)
+                t = t + 1
+                seq.append(logits)
+            outs[layout] = jnp.stack(seq)
+        np.testing.assert_allclose(outs['khd'], outs['dk'],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_gpt2_generator_streams_match_across_layouts(monkeypatch):
+    """Batched GPT-2 generation ACROSS a window re-anchor: 'dk' emits the
+    same streams as 'khd' (argmax sampling + Track_LeadSheet bias force
+    growth past the cache, as in the host-parity reanchor test)."""
+    import emo_disentanger_tpu.infer.stage2_batch as s2b
+    from emo_disentanger_tpu.models import MusicGPT2
+
+    def argmax_sample(key, logits, temperature, top_p, forbid=None):
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    monkeypatch.setattr(s2b, 'nucleus_sample', argmax_sample)
+
+    vocab = tiny_vocab2()
+    tl = vocab.event2idx['Track_LeadSheet']
+    model = MusicGPT2(n_token=vocab.size, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.zeros((1, 8), jnp.int32))
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, x: x.at[tl].add(1.0)
+        if ('out_proj' in jax.tree_util.keystr(path)
+            and 'bias' in jax.tree_util.keystr(path)) else x, params)
+    bar = [vocab.event2idx[e] for e in
+           ['Bar_None', 'Beat_0', 'Chord_I_M', 'Note_Octave_5',
+            'Note_Degree_I', 'Note_Duration_480']]
+    primer = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
+              vocab.event2idx['Tempo_110']]
+    kw = dict(temp=1.0, top_p=0.9, max_events=400, gpt2_cache_len=192,
+              gpt2_window=96, reanchor_margin=16, max_bar_tokens=32,
+              max_bars=24)
+
+    results = {}
+    for layout in ('khd', 'dk'):
+        gen = s2b.Stage2BatchGenerator(model, params, vocab, batch=2,
+                                       cache_layout=layout, **kw)
+        results[layout] = gen.generate([primer] * 2, [[list(bar)] * 24] * 2,
+                                       seed=7)
+    s_khd, st_khd = results['khd']
+    s_dk, st_dk = results['dk']
+    assert max(st_dk['reanchors']) > 0, \
+        'test shapes must actually trigger a re-anchor'
+    assert s_khd == s_dk
+    assert st_khd['reanchors'] == st_dk['reanchors']
+    assert st_khd['status'] == st_dk['status']
