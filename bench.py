@@ -106,19 +106,23 @@ def build_model(dtype=None):
 
 def bench_state_decode(model, params, omegas, batch=BATCH,
                        n_steps=DECODE_STEPS):
-    """Our decode: greedy scan over decode_step with carried (S, z)."""
+    """Our decode: greedy scan over decode_step with carried (S, z).
+
+    EMODIS_PERF_STATE_LAYOUT selects the FAVOR S layout ('md' default,
+    'dm' = M-in-lanes; see models.performer.init_decode_state)."""
     import jax
     import jax.numpy as jnp
     from emo_disentanger_tpu.models.performer import MusicPerformer
+    layout = os.environ.get('EMODIS_PERF_STATE_LAYOUT', 'md')
 
     def run(tok0):
-        state = model.apply(params, batch,
+        state = model.apply(params, batch, layout,
                             method=MusicPerformer.init_decode_state)
 
         def step(carry, t):
             tok, state = carry
             logits, state = model.apply(params, tok, jnp.zeros_like(tok), t,
-                                        omegas, state,
+                                        omegas, state, state_layout=layout,
                                         method=MusicPerformer.decode_step)
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             return (tok, state), tok

@@ -29,7 +29,11 @@ def _time_scan(run_j, tok0, steps, reps=3):
     return steps / ((time.perf_counter() - t0) / reps)
 
 
-def bench_performer(batch):
+def bench_performer(batch, state_layout=None):
+    # state_layout: FAVOR S layout ('md' | 'dm'); default from
+    # EMODIS_PERF_STATE_LAYOUT so the chip A/B is an env flip
+    state_layout = state_layout or os.environ.get('EMODIS_PERF_STATE_LAYOUT',
+                                                  'md')
     from emo_disentanger_tpu.models import MusicPerformer
     from emo_disentanger_tpu.models.performer import MusicPerformer as MP
     from emo_disentanger_tpu.utils.precision import cast_params
@@ -42,12 +46,15 @@ def bench_performer(batch):
                                     jnp.zeros((1, 8), jnp.int32)))
 
     def run(tok0):
-        state = model.apply(params, batch, method=MP.init_decode_state)
+        state = model.apply(params, batch, state_layout,
+                            method=MP.init_decode_state)
 
         def step(carry, t):
             tok, state = carry
             logits, state = model.apply(params, tok, jnp.zeros_like(tok), t,
-                                        omegas, state, method=MP.decode_step)
+                                        omegas, state,
+                                        state_layout=state_layout,
+                                        method=MP.decode_step)
             return (jnp.argmax(logits, -1).astype(jnp.int32), state), ()
 
         (tok, _), _ = jax.lax.scan(step, (tok0, state),

@@ -69,15 +69,18 @@ class Stage2BatchGenerator:
         self.is_performer = isinstance(model, MusicPerformer)
         if self.is_performer and omegas is None:
             raise ValueError('Performer decoding needs drawn omegas')
-        # GPT-2 KV-cache memory layout: 'khd' ([B,Kmax,H,Dh], default)
-        # or 'dk' (K-in-lanes [B,H,Dh,Kmax] -- avoids the 4x TPU tile
-        # padding on per-step cache reads, see models.gpt2).  Ignored
-        # for the Performer (its decode carries (S, z), not a KV cache).
+        # Decode-state memory layout: 'khd' (reference-shaped buffers,
+        # default) or 'dk' (lanes-clean).  For GPT-2, 'dk' stores the KV
+        # cache K-in-lanes ([B,H,Dh,Kmax] -- avoids the 4x TPU tile padding
+        # on per-step cache reads, see models.gpt2); for the Performer it
+        # carries the FAVOR S state transposed ([...,Dh,M] 'dm' -- halves
+        # the dominant f32 state read+write traffic, see models.performer).
         import os as _os
         if cache_layout is None:
             cache_layout = _os.environ.get('EMODIS_S2_CACHE_LAYOUT', 'khd')
         assert cache_layout in ('khd', 'dk'), cache_layout
         self.cache_layout = cache_layout
+        self._state_layout = 'dm' if cache_layout == 'dk' else 'md'
         self.gpt2_cache_len = gpt2_cache_len
         self.gpt2_window = gpt2_window
         self.reanchor_margin = reanchor_margin
@@ -190,7 +193,7 @@ class Stage2BatchGenerator:
                 # untouched without a second full-state select
                 return self.model.apply(
                     self.params, token, seg, t, self.omegas, state,
-                    update_mask=advance,
+                    update_mask=advance, state_layout=self._state_layout,
                     method=MusicPerformer.decode_step_batchpos)
             # GPT-2: rejected elements overwrite the same cache slot on the
             # next step before attending, so no select is needed either
@@ -204,6 +207,7 @@ class Stage2BatchGenerator:
             primer [B, P]; primer_len [B]; n_bars/target_bars [B]."""
             if self.is_performer:
                 state = self.model.apply(self.params, B,
+                                         self._state_layout,
                                          method=MusicPerformer.init_decode_state)
             else:
                 state = self.model.apply(self.params, B, self.gpt2_cache_len,

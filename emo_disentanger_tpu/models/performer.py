@@ -102,9 +102,13 @@ class PerformerLayer(nn.Module):
         return self.norm2(x + y)
 
     def decode_step(self, x, omega, layer_idx, S_all, z_all,
-                    update_mask=None, fused: Optional[bool] = None):
+                    update_mask=None, fused: Optional[bool] = None,
+                    state_layout: str = 'md'):
         """x [B, 1, D]; carried state S_all [n_layer,B,H,M,Dh] /
         z_all [n_layer,B,H,M], updated in place at layer_idx.
+        ``state_layout='dm'`` carries S transposed [n_layer,B,H,Dh,M] —
+        clean f32 tiles instead of the 2x lane padding of trailing
+        (M=128, Dh=64) dims; see ``linear_attention_decode_step``.
         ``update_mask`` [B] freezes masked elements' state.
         ``fused=None`` selects the composed XLA path: on-chip measurement
         (round 3, v5e, 12L/512d bf16) has the composed path FASTER than the
@@ -117,7 +121,10 @@ class PerformerLayer(nn.Module):
         B = x.shape[0]
         if fused is None:
             fused = os.environ.get('EMODIS_FUSED_DECODE', '') == '1'
+            fused = fused and state_layout == 'md'
         if fused:
+            assert state_layout == 'md', \
+                'the fused decode kernel carries [M, Dh] state'
             from ..ops.performer_decode import fused_decode_layer
             pv = lambda m: m.variables['params']
             ln = lambda m: pv(m)['LayerNorm_0']
@@ -149,7 +156,7 @@ class PerformerLayer(nn.Module):
         mask = None if update_mask is None else update_mask[:, None]
         attn, S, z = linear_attention_decode_step(
             phi_q, phi_k, v.astype(jnp.float32), S_all[layer_idx],
-            z_all[layer_idx], update_mask=mask)
+            z_all[layer_idx], update_mask=mask, state_layout=state_layout)
         S_all = jax.lax.dynamic_update_slice(
             S_all, S[None], (layer_idx, 0, 0, 0, 0))
         z_all = jax.lax.dynamic_update_slice(
@@ -232,18 +239,28 @@ class MusicPerformer(nn.Module):
         return logits
 
     # ------------------------------------------------------------ decode
-    def init_decode_state(self, batch: int) -> Dict[str, jax.Array]:
+    def init_decode_state(self, batch: int,
+                          state_layout: str = 'md') -> Dict[str, jax.Array]:
+        """``'md'``: S [n_layer, B, H, M, Dh] (default).  ``'dm'``: S
+        transposed [n_layer, B, H, Dh, M] — trailing (Dh=64, M=128) tiles
+        f32 exactly, halving the HBM footprint/traffic of the state
+        (the 'md' trailing (128, 64) pads lanes 2x).  z is [.., H, M]
+        either way (already tile-exact)."""
+        sdims = ((self.d_head, self.favor_dims) if state_layout == 'dm'
+                 else (self.favor_dims, self.d_head))
         return {
-            'S': jnp.zeros((self.n_layer, batch, self.n_head,
-                            self.favor_dims, self.d_head), dtype=jnp.float32),
+            'S': jnp.zeros((self.n_layer, batch, self.n_head) + sdims,
+                           dtype=jnp.float32),
             'z': jnp.zeros((self.n_layer, batch, self.n_head, self.favor_dims),
                            dtype=jnp.float32),
         }
 
     def decode_step(self, token: jax.Array, seg: jax.Array, t: jax.Array,
                     omegas: jax.Array, state: Dict[str, jax.Array],
+                    state_layout: str = 'md',
                     ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        """token/seg [B] int32, t scalar -> (logits [B, V], state)."""
+        """token/seg [B] int32, t scalar -> (logits [B, V], state).
+        ``state_layout`` must match ``init_decode_state``'s."""
         emb = self.token_emb(token[:, None])
         if self.use_segment_emb:
             emb = emb + self.segemb(seg[:, None])
@@ -253,7 +270,8 @@ class MusicPerformer(nn.Module):
         h = emb
         S_all, z_all = state['S'], state['z']
         for i, layer in enumerate(self.layers):
-            h, S_all, z_all = layer.decode_step(h, omegas[i], i, S_all, z_all)
+            h, S_all, z_all = layer.decode_step(h, omegas[i], i, S_all, z_all,
+                                                state_layout=state_layout)
         logits = self.out_proj(h.astype(jnp.float32))[:, 0]
         return logits, {'S': S_all, 'z': z_all}
 
@@ -261,6 +279,7 @@ class MusicPerformer(nn.Module):
                              t: jax.Array, omegas: jax.Array,
                              state: Dict[str, jax.Array],
                              update_mask: Optional[jax.Array] = None,
+                             state_layout: str = 'md',
                              ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         """Like :meth:`decode_step` but with a PER-ELEMENT position ``t``
         [B] — used by the batched generator where each song advances its own
@@ -278,7 +297,8 @@ class MusicPerformer(nn.Module):
         S_all, z_all = state['S'], state['z']
         for i, layer in enumerate(self.layers):
             h, S_all, z_all = layer.decode_step(h, omegas[i], i, S_all, z_all,
-                                                update_mask=update_mask)
+                                                update_mask=update_mask,
+                                                state_layout=state_layout)
         logits = self.out_proj(h.astype(jnp.float32))[:, 0]
         return logits, {'S': S_all, 'z': z_all}
 

@@ -1354,19 +1354,30 @@ def linear_attention_decode_step(
     z: jax.Array,              # [..., M]     running sum phi(k)
     eps: float = EPS,
     update_mask: Optional[jax.Array] = None,   # [...] 0/1 per batch element
+    state_layout: str = 'md',
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One causal step (current token included): returns (out, S', z').
 
     ``update_mask`` zeroes the state contribution of masked elements (used
     by batched generation to leave rejected songs' state untouched without a
-    second full-state select)."""
+    second full-state select).
+
+    ``state_layout='dm'`` carries S TRANSPOSED, [..., Dv, M]: with
+    (M, Dv) = (128, 64) the 'md' trailing dims tile-pad Dv to 128 lanes —
+    2x HBM on the f32 state read+write that dominates the decode step
+    ([..., 64, 128] tiles exactly).  Same outer-product update and
+    contraction, elementwise-identical values."""
     if update_mask is not None:
         m = update_mask.astype(phi_k.dtype)
         while m.ndim < phi_k.ndim:
             m = m[..., None]
         phi_k = phi_k * m
-    S = S + phi_k[..., :, None] * v[..., None, :]
+    if state_layout == 'dm':
+        S = S + v[..., :, None] * phi_k[..., None, :]
+        num = jnp.einsum('...m,...dm->...d', phi_q, S)
+    else:
+        S = S + phi_k[..., :, None] * v[..., None, :]
+        num = jnp.einsum('...m,...md->...d', phi_q, S)
     z = z + phi_k
-    num = jnp.einsum('...m,...md->...d', phi_q, S)
     den = jnp.einsum('...m,...m->...', phi_q, z)
     return num / (den[..., None] + eps), S, z

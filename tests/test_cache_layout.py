@@ -207,3 +207,71 @@ def test_gpt2_generator_streams_match_across_layouts(monkeypatch):
     assert s_khd == s_dk
     assert st_khd['reanchors'] == st_dk['reanchors']
     assert st_khd['status'] == st_dk['status']
+
+
+# ------------------------------------------------------------- Performer
+
+def test_performer_state_layouts_match():
+    """FAVOR decode with the transposed ('dm') S state: logits identical to
+    'md' (the outer-product update and the phi_q contraction are the same
+    scalar sums per entry), incl. the masked batchpos step."""
+    from emo_disentanger_tpu.models import MusicPerformer
+    model = MusicPerformer(n_token=30, n_layer=2, n_head=2, d_model=32,
+                           d_ff=64, d_embed=32, favor_dims=16, dropout=0.0)
+    omegas = model.draw_omegas(jax.random.PRNGKey(5))
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        omegas, jnp.zeros((1, 8), jnp.int32))
+    B, steps = 3, 12
+    toks = jax.random.randint(jax.random.PRNGKey(2), (steps, B), 0, 30)
+    segs = jnp.zeros((B,), jnp.int32)
+    # freeze element 1 on odd steps to exercise update_mask under 'dm'
+    masks = jnp.asarray([[True, i % 2 == 0, True] for i in range(steps)])
+
+    outs = {}
+    for layout in ('md', 'dm'):
+        state = model.apply(params, B, layout,
+                            method=MusicPerformer.init_decode_state)
+        t = jnp.arange(B, dtype=jnp.int32)
+        seq = []
+        for i in range(steps):
+            logits, state = model.apply(
+                params, toks[i], segs, t, omegas, state,
+                update_mask=masks[i], state_layout=layout,
+                method=MusicPerformer.decode_step_batchpos)
+            t = t + masks[i]
+            seq.append(logits)
+        outs[layout] = jnp.stack(seq)
+    np.testing.assert_allclose(outs['md'], outs['dm'], rtol=2e-5, atol=2e-5)
+
+
+def test_performer_generator_streams_match_across_layouts():
+    """Batched Performer generation: cache_layout='dk' (transposed FAVOR
+    state) emits the same streams as the default."""
+    from emo_disentanger_tpu.models import MusicPerformer
+    from emo_disentanger_tpu.infer.stage2_batch import Stage2BatchGenerator
+    vocab = tiny_vocab2()
+    model = MusicPerformer(n_token=vocab.size, n_layer=2, n_head=2,
+                           d_model=32, d_ff=64, d_embed=32, favor_dims=16,
+                           dropout=0.0)
+    omegas = model.draw_omegas(jax.random.PRNGKey(5))
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        omegas, jnp.zeros((1, 8), jnp.int32))
+    bar = [vocab.event2idx[e] for e in
+           ['Bar_None', 'Beat_0', 'Chord_I_M', 'Note_Octave_5',
+            'Note_Degree_I', 'Note_Duration_480']]
+    primer = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
+              vocab.event2idx['Tempo_110']]
+    results = {}
+    for layout in ('khd', 'dk'):
+        gen = Stage2BatchGenerator(model, params, vocab, batch=2, temp=1.1,
+                                   top_p=0.99, max_events=150,
+                                   max_bar_tokens=32, omegas=omegas,
+                                   cache_layout=layout)
+        results[layout] = gen.generate([primer] * 2,
+                                       [[list(bar)] * 2, [list(bar)] * 3],
+                                       seed=3)
+    s_khd, st_khd = results['khd']
+    s_dk, st_dk = results['dk']
+    assert s_khd == s_dk
+    assert st_khd['status'] == st_dk['status']
+    assert st_khd['rejects'] == st_dk['rejects']
