@@ -29,6 +29,13 @@ def main(argv=None):
                         help='continuous batching: stream ALL jobs through '
                              '--batch device slots with refill-on-finish '
                              '(faster on mixed-length file sets)')
+    parser.add_argument('--gpt2_cache_len', type=int, default=4096,
+                        help='GPT-2 batched decode: KV-cache capacity '
+                             '(re-anchor headroom; must cover '
+                             'gpt2_window + max bar tokens)')
+    parser.add_argument('--gpt2_window', type=int, default=2048,
+                        help='GPT-2 batched decode: window re-anchor width '
+                             '(reference inference.py:250-257 uses 2048)')
     args = parser.parse_args(argv)
 
     from ..infer import run_stage2
@@ -37,7 +44,9 @@ def main(argv=None):
                           inference_params=args.inference_params,
                           output_dir=args.output_dir,
                           play_midi=args.play_midi, seed=args.seed,
-                          batch_size=args.batch, serve=args.serve)
+                          batch_size=args.batch, serve=args.serve,
+                          gpt2_cache_len=args.gpt2_cache_len,
+                          gpt2_window=args.gpt2_window)
 
 
 if __name__ == '__main__':

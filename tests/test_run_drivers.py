@@ -277,3 +277,45 @@ def test_run_stage1_serve_driver(tmp_path):
     assert summary['pieces'] >= 1
     romans = [f for f in os.listdir(out_dir) if f.endswith('roman.txt')]
     assert len(romans) >= 1
+
+
+def test_run_stage2_batched_gpt2_driver(tmp_path):
+    """run_stage2 with the GPT-2 backbone in batched mode: the cache/window
+    sizes are caller-configurable (the reference hard-codes 2048,
+    ``stage2_accompaniment/inference.py:250-257``) so the batched path is
+    drivable at test shapes; renders parse as SMF."""
+    tmp = str(tmp_path)
+    root = os.path.join(tmp, 'corpus')
+    events_dir, vocab_path, names = write_stage2_corpus(root, n_pieces=3)
+    cfg_path = _write_stage2_config(tmp, events_dir, vocab_path)
+    vocab = Vocab.load(vocab_path)
+
+    from emo_disentanger_tpu.train.train_stage2 import build_model_and_params
+    from emo_disentanger_tpu.utils.io import load_yaml
+    config = load_yaml(cfg_path)
+    model, params, omegas = build_model_and_params(config, vocab, 'gpt2')
+    ckpt = save_checkpoint(os.path.join(tmp, 'weights'), 1, 9.999, params)
+
+    out_dir = os.path.join(tmp, 'gen')
+    os.makedirs(out_dir)
+    lead = ['Key_C', 'Bar_None', 'Beat_0', 'Chord_I_M', 'Note_Octave_5',
+            'Note_Degree_I', 'Note_Duration_480',
+            'Bar_None', 'Beat_0', 'Chord_V_7', 'Note_Octave_5',
+            'Note_Degree_V', 'Note_Duration_480']
+    for i, emo in enumerate(['Positive', 'Negative']):
+        with open(os.path.join(out_dir, f'samp_{i:02d}_{emo}_roman.txt'),
+                  'w') as f:
+            f.write('\n'.join(lead) + '\n')
+
+    from emo_disentanger_tpu.infer import run_stage2
+    summary = run_stage2.run(
+        cfg_path, 'functional', 'gpt2',
+        inference_params=ckpt, output_dir=out_dir,
+        max_events=120, max_bars_override=2, batch_size=4, seed=0,
+        gpt2_cache_len=360, gpt2_window=96)
+    assert summary['pieces'] == 4
+    mids = sorted(f for f in os.listdir(out_dir) if f.endswith('_full.mid'))
+    assert len(mids) == 4
+    from emo_disentanger_tpu.data.midi_io import MidiFile
+    for m in mids:
+        MidiFile.parse(os.path.join(out_dir, m))
