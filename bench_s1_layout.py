@@ -122,7 +122,7 @@ def model_level():
                                     jnp.ones((1, 8), jnp.int32)))
     steps = 128
 
-    for layout in ('khd', 'dk'):
+    for layout in ('khd', 'hkd', 'dk'):
         def run(tok0, layout=layout):
             cache = model.apply(params, B, K, layout,
                                 method=PlainTransformer.init_decode_cache)

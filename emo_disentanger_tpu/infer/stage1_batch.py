@@ -236,7 +236,7 @@ class Stage1BatchGenerator:
         import os as _os
         if cache_layout is None:
             cache_layout = _os.environ.get('EMODIS_S1_CACHE_LAYOUT', 'khd')
-        assert cache_layout in ('khd', 'dk'), cache_layout
+        assert cache_layout in ('khd', 'dk', 'hkd'), cache_layout
         self.model = model
         self.params = params
         self.vocab = vocab

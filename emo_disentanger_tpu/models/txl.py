@@ -134,6 +134,14 @@ class TXLSelfAttention(nn.Module):
             v_all = jax.lax.dynamic_update_slice(
                 v_all, v.reshape(1, B, self.n_head, self.d_head, 1),
                 (layer_idx, 0, 0, 0, t))
+        elif layout == 'hkd':
+            assert full_attention, "layout='hkd' implies the whole-cache path"
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k.reshape(1, B, self.n_head, 1, self.d_head),
+                (layer_idx, 0, 0, t, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v.reshape(1, B, self.n_head, 1, self.d_head),
+                (layer_idx, 0, 0, t, 0))
         else:
             k_all = jax.lax.dynamic_update_slice(
                 k_all, k.reshape(1, B, 1, self.n_head, self.d_head),
@@ -183,6 +191,11 @@ class TXLSelfAttention(nn.Module):
                 return jax.vmap(
                     lambda c, kk, tb: jax.lax.dynamic_update_slice(
                         c, kk[..., None], (0, 0, tb)))(cache_layer, new_row, t)
+        elif layout == 'hkd':
+            def write(cache_layer, new_row):
+                return jax.vmap(
+                    lambda c, kk, tb: jax.lax.dynamic_update_slice(
+                        c, kk[:, None], (0, tb, 0)))(cache_layer, new_row, t)
         else:
             def write(cache_layer, new_row):
                 return jax.vmap(
@@ -394,6 +407,12 @@ class PlainTransformer(nn.Module):
             r_heads = jnp.stack(
                 [self.layers[i].attn.rel_heads(max_klen).transpose(1, 2, 0)
                  for i in range(self.n_layer)])
+        elif layout == 'hkd':
+            k_cache = jnp.zeros((self.n_layer, batch, self.n_head,
+                                 max_klen, self.d_head), dtype=self.dtype)
+            r_heads = jnp.stack(
+                [self.layers[i].attn.rel_heads(max_klen).transpose(1, 2, 0)
+                 for i in range(self.n_layer)])
         else:
             k_cache = jnp.zeros((self.n_layer, batch, max_klen, self.n_head,
                                  self.d_head), dtype=self.dtype)
@@ -418,7 +437,7 @@ class PlainTransformer(nn.Module):
         einsum — its while_loop cannot compile the flash path at B>=8 on
         the axon AOT helper).  ``layout`` must match the cache's
         (``init_decode_cache``); 'dk' implies the whole-cache path."""
-        if layout == 'dk':
+        if layout in ('dk', 'hkd'):
             full_attention = True
         elif full_attention is None:
             full_attention = token.shape[0] >= 32

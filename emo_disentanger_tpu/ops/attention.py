@@ -124,10 +124,14 @@ def full_decode_attention(
       math — scores/probs/output agree with 'khd' to reduction-order
       rounding (tested) — but the per-step HBM traffic matches the
       logical cache size.
+    * ``'hkd'`` — caches ``[B, H, Kmax, Dh]``, r_heads as 'dk'
+      (``[H, Dh, Kmax]``).  Hedge layout: trailing (Kmax, Dh) still pads
+      Dh 2x, but the per-step cache write lands at a SUBLANE offset
+      (contiguous rows) instead of 'dk's dynamic lane offset.
     """
-    if layout == 'dk':
+    if layout in ('dk', 'hkd'):
         return _full_decode_attention_dk(q, k_cache, v_cache, t,
-                                         scale=scale, rel=rel)
+                                         scale=scale, rel=rel, layout=layout)
     B, Kmax, H, Dh = k_cache.shape
     # dtype-preserving dots with f32 accumulation: upcasting the whole
     # padded cache (`k_cache.astype(f32)`) materialized 2x-width copies of
@@ -157,14 +161,15 @@ def full_decode_attention(
 
 def _full_decode_attention_dk(
     q: jax.Array,              # [B, H, Dh]
-    k_cache: jax.Array,        # [B, H, Dh, Kmax]
-    v_cache: jax.Array,        # [B, H, Dh, Kmax]
+    k_cache: jax.Array,        # [B, H, Dh, Kmax] ('dk') / [B, H, Kmax, Dh] ('hkd')
+    v_cache: jax.Array,        # like k_cache
     t: jax.Array,              # scalar position
     *,
     scale: float,
     rel: Optional[Tuple[jax.Array, jax.Array]] = None,
+    layout: str = 'dk',
 ) -> jax.Array:
-    """K-in-lanes body of :func:`full_decode_attention` (layout='dk').
+    """Head-major body of :func:`full_decode_attention` (layout 'dk'/'hkd').
 
     The TXL relative term is computed as ``rq_all[b,h,k] = rr_q .
     r_heads[:, :, k]`` for every distance row and then gathered at
@@ -172,10 +177,14 @@ def _full_decode_attention_dk(
     'khd' body (each BD entry is the identical 64-wide contraction), but
     the gather moves [B, H, K] f32 scores instead of [K, H, Dh] rows, and
     reading r_heads as [H, Dh, K] avoids the same 4x tile padding the
-    cache reads avoid."""
-    B, H, Dh, Kmax = k_cache.shape
-    s = jnp.einsum('bhd,bhdj->bhj', q, k_cache,
-                   preferred_element_type=jnp.float32)
+    'dk' cache reads avoid."""
+    if layout == 'hkd':
+        B, H, Kmax, Dh = k_cache.shape
+        eq_s, eq_v = 'bhd,bhjd->bhj', 'bhj,bhjd->bhd'
+    else:
+        B, H, Dh, Kmax = k_cache.shape
+        eq_s, eq_v = 'bhd,bhdj->bhj', 'bhj,bhdj->bhd'
+    s = jnp.einsum(eq_s, q, k_cache, preferred_element_type=jnp.float32)
     if rel is not None:
         rr_q, r_heads = rel               # r_heads [H, Dh, Kmax]
         rq_all = jnp.einsum('bhd,hdk->bhk', rr_q.astype(r_heads.dtype),
@@ -185,7 +194,7 @@ def _full_decode_attention_dk(
     s = s * scale
     s = jnp.where((jnp.arange(Kmax) > t)[None, None, :], NEG_INF, s)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum('bhj,bhdj->bhd', p.astype(v_cache.dtype), v_cache,
+    return jnp.einsum(eq_v, p.astype(v_cache.dtype), v_cache,
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
@@ -217,23 +226,23 @@ def full_decode_attention_pe(
     ``[H, Dh, Kmax]`` (see :func:`full_decode_attention`)."""
     if layout == 'dk':
         B, H, Dh, Kmax = k_cache.shape
-        s = jnp.einsum('bhd,bhdj->bhj', q, k_cache,
-                       preferred_element_type=jnp.float32)
-        r_rows = None if rel is None else rel[1].shape[-1]
-        vdot = lambda p: jnp.einsum(          # noqa: E731
-            'bhj,bhdj->bhd', p.astype(v_cache.dtype), v_cache,
-            preferred_element_type=jnp.float32)
+        eq_s, eq_v = 'bhd,bhdj->bhj', 'bhj,bhdj->bhd'
+    elif layout == 'hkd':
+        B, H, Kmax, Dh = k_cache.shape
+        eq_s, eq_v = 'bhd,bhjd->bhj', 'bhj,bhjd->bhd'
     else:
         B, Kmax, H, Dh = k_cache.shape
-        s = jnp.einsum('bhd,bjhd->bhj', q, k_cache,
-                       preferred_element_type=jnp.float32)
-        r_rows = None if rel is None else rel[1].shape[0]
-        vdot = lambda p: jnp.einsum(          # noqa: E731
-            'bhj,bjhd->bhd', p.astype(v_cache.dtype), v_cache,
-            preferred_element_type=jnp.float32)
+        eq_s, eq_v = 'bhd,bjhd->bhj', 'bhj,bjhd->bhd'
+    s = jnp.einsum(eq_s, q, k_cache, preferred_element_type=jnp.float32)
+    # r_heads: [Kmax, H, Dh] for 'khd'; [H, Dh, Kmax] for 'dk'/'hkd'
+    r_rows = None if rel is None else (
+        rel[1].shape[0] if layout == 'khd' else rel[1].shape[-1])
+    vdot = lambda p: jnp.einsum(              # noqa: E731
+        eq_v, p.astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32)
     if rel is not None:
         rr_q, r_heads = rel
-        rq_all = jnp.einsum('bhd,khd->bhk' if layout != 'dk' else 'bhd,hdk->bhk',
+        rq_all = jnp.einsum('bhd,khd->bhk' if layout == 'khd' else 'bhd,hdk->bhk',
                             rr_q.astype(r_heads.dtype), r_heads,
                             preferred_element_type=jnp.float32)
         dist = jnp.clip(t[:, None] - jnp.arange(Kmax)[None, :], 0,

@@ -27,15 +27,15 @@ def _tiny_model():
 
 def test_decode_step_layouts_match():
     """Teacher-forced decode: per-step logits agree across layouts to
-    reduction-order rounding (the 'dk' body computes the relative term as
-    compute-all-then-gather instead of gather-then-dot — identical
+    reduction-order rounding (the 'dk'/'hkd' bodies compute the relative
+    term as compute-all-then-gather instead of gather-then-dot — identical
     64-wide contractions per entry)."""
     model, params = _tiny_model()
     B, K, steps = 3, 32, 20
     toks = jax.random.randint(jax.random.PRNGKey(3), (steps, B), 0, 30)
 
     outs = {}
-    for layout in ('khd', 'dk'):
+    for layout in ('khd', 'dk', 'hkd'):
         cache = model.apply(params, B, K, layout,
                             method=PlainTransformer.init_decode_cache)
         logits_seq = []
@@ -49,17 +49,19 @@ def test_decode_step_layouts_match():
 
     np.testing.assert_allclose(outs['khd'], outs['dk'],
                                rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(outs['khd'], outs['hkd'],
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_decode_step_pe_layouts_match():
     """Per-element-clock decode (the serve() step) with RAGGED positions:
-    both layouts, same logits."""
+    all layouts, same logits."""
     model, params = _tiny_model()
     B, K = 4, 32
     toks = jax.random.randint(jax.random.PRNGKey(5), (10, B), 0, 30)
 
     outs = {}
-    for layout in ('khd', 'dk'):
+    for layout in ('khd', 'dk', 'hkd'):
         cache = model.apply(params, B, K, layout,
                             method=PlainTransformer.init_decode_cache)
         # desync the clocks: element b starts at position b
@@ -75,6 +77,8 @@ def test_decode_step_pe_layouts_match():
 
     np.testing.assert_allclose(outs['khd'], outs['dk'],
                                rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(outs['khd'], outs['hkd'],
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_generator_streams_match_across_layouts():
@@ -87,7 +91,7 @@ def test_generator_streams_match_across_layouts():
     emotions = ['Q1', 'Q2', 'Q1', 'Q2']
 
     results = {}
-    for layout in ('khd', 'dk'):
+    for layout in ('khd', 'dk', 'hkd'):
         gen = Stage1BatchGenerator(model, params, vocab, batch=4, temp=1.2,
                                    top_p=0.97, max_events=40, max_bars=2,
                                    functional=True, reject_slack=128,
@@ -95,11 +99,12 @@ def test_generator_streams_match_across_layouts():
         results[layout] = gen.generate(emotions, seed=7)
 
     songs_khd, stats_khd = results['khd']
-    songs_dk, stats_dk = results['dk']
-    assert songs_khd == songs_dk
-    assert stats_khd['status'] == stats_dk['status']
-    assert stats_khd['events'] == stats_dk['events']
-    assert stats_khd['iters'] == stats_dk['iters']
+    for other in ('dk', 'hkd'):
+        songs_o, stats_o = results[other]
+        assert songs_khd == songs_o
+        assert stats_khd['status'] == stats_o['status']
+        assert stats_khd['events'] == stats_o['events']
+        assert stats_khd['iters'] == stats_o['iters']
 
 
 def test_serve_dk_layout():
