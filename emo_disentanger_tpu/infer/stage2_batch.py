@@ -78,7 +78,7 @@ class Stage2BatchGenerator:
         import os as _os
         if cache_layout is None:
             cache_layout = _os.environ.get('EMODIS_S2_CACHE_LAYOUT', 'khd')
-        assert cache_layout in ('khd', 'dk', 'hkd'), cache_layout
+        assert cache_layout in ('khd', 'dk'), cache_layout
         self.cache_layout = cache_layout
         self._state_layout = 'dm' if cache_layout == 'dk' else 'md'
         self.gpt2_cache_len = gpt2_cache_len
