@@ -171,7 +171,11 @@ def sub_primary(batch, n_steps, ctx_len, n_ref_tokens):
                               n_steps=n_steps)
     ref = bench_reference_style(model, params, omegas, batch=batch,
                                 ctx_len=ctx_len, n_tokens=n_ref_tokens)
-    return {'ours': ours, 'ref': ref}
+    out = {'ours': ours, 'ref': ref}
+    layout = os.environ.get('EMODIS_PERF_STATE_LAYOUT', 'md')
+    if layout != 'md':
+        out['state_layout'] = layout    # flag a non-default-layout artifact
+    return out
 
 
 def sub_train():

@@ -348,16 +348,20 @@ def bench_stage1_sampled_generation(batch=16, max_events=384):
 
 
 def sec_decode_txl():
+    layout = os.environ.get('EMODIS_S1_CACHE_LAYOUT', 'khd')
     for batch in (1, 16, 32):
         print(json.dumps({'metric': 'stage1_txl decode', 'batch': batch,
                           'value': round(bench_txl(batch), 1),
+                          'layout': layout,
                           'unit': 'tokens/sec/chip'}), flush=True)
 
 
 def sec_decode_performer():
+    layout = os.environ.get('EMODIS_PERF_STATE_LAYOUT', 'md')
     for batch in (1, 16, 32, 64):
         print(json.dumps({'metric': 'stage2_performer decode', 'batch': batch,
                           'value': round(bench_performer(batch), 1),
+                          'state_layout': layout,
                           'unit': 'tokens/sec/chip'}), flush=True)
 
 
@@ -370,11 +374,13 @@ def sec_decode_gpt2():
     # If throughput ~doubles when K halves at fixed B, decode is
     # cache-bandwidth-bound and weak batch scaling is expected, not a
     # loop inefficiency.
+    layout = os.environ.get('EMODIS_S2_CACHE_LAYOUT', 'khd')
     results = {}
     for batch in (1, 16, 32):
         results[batch] = bench_gpt2(batch)
         print(json.dumps({'metric': 'stage2_gpt2 decode', 'batch': batch,
                           'value': round(results[batch], 1),
+                          'layout': layout,
                           'unit': 'tokens/sec/chip'}), flush=True)
     kv_bytes = 2 * 12 * 512 * 2                  # K+V, 12 layers, d=512, bf16
     w_bytes = 2 * (12 * (4 * 512 * 512 + 2 * 512 * 2048) + VOCAB * 512 * 2)

@@ -227,11 +227,12 @@ class Stage1BatchGenerator:
         2400-event full_song mode where most songs EOS under 600).  Each
         tier's loop compiles lazily on first use.
 
-        ``cache_layout``: ``'khd'`` ([B, Kmax, H, Dh] caches) or ``'dk'``
+        ``cache_layout``: ``'khd'`` ([B, Kmax, H, Dh] caches), ``'dk'``
         (K-in-lanes [B, H, Dh, Kmax] — avoids the 4x TPU tile padding on
-        the whole-cache einsum's per-step reads, see
-        ``ops.attention.full_decode_attention``).  Token streams agree up
-        to reduction-order rounding (tested).  Defaults to the
+        the whole-cache einsum's per-step reads), or ``'hkd'``
+        ([B, H, Kmax, Dh] hedge — sublane-offset writes, 2x read padding;
+        see ``ops.attention.full_decode_attention``).  Token streams agree
+        up to reduction-order rounding (tested).  Defaults to the
         ``EMODIS_S1_CACHE_LAYOUT`` env var, else ``'khd'``."""
         import os as _os
         if cache_layout is None:

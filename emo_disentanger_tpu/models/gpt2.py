@@ -103,6 +103,9 @@ class GPT2Block(nn.Module):
         ``layout='dk'`` takes K-in-lanes caches [n_layer,B,H,Dh,Kmax] —
         the 'khd' trailing (H, Dh) dims tile-pad every per-step cache
         read 4x on TPU (see ``ops.attention.full_decode_attention``)."""
+        from ..ops.attention import layout_equations
+        if layout not in ('khd', 'dk'):
+            raise ValueError(f'MusicGPT2 decode supports khd/dk, got {layout!r}')
         B = x.shape[0]
         Kmax = k_all.shape[-1] if layout == 'dk' else k_all.shape[2]
         h = self.ln_1(x)
@@ -130,8 +133,7 @@ class GPT2Block(nn.Module):
         # v5e; the TXL layer uses ops.attention.flash_decode_attention
         # because its relative-position term also scales with cache length)
         scale = 1.0 / (self.d_head ** 0.5)
-        eq_s = 'bhd,bhdj->bhj' if layout == 'dk' else 'bhd,bjhd->bhj'
-        eq_v = 'bhj,bhdj->bhd' if layout == 'dk' else 'bhj,bjhd->bhd'
+        eq_s, eq_v = layout_equations(layout)
         scores = jnp.einsum(eq_s, q, k_cache) * scale
         positions = jnp.arange(Kmax)
         scores = jnp.where((positions > t)[None, None, :], NEG_INF, scores)
@@ -222,9 +224,11 @@ class MusicGPT2(nn.Module):
         if layout == 'dk':
             k = jnp.zeros((self.n_layer, batch, self.n_head, self.d_head,
                            max_klen), dtype=self.dtype)
-        else:
+        elif layout == 'khd':
             k = jnp.zeros((self.n_layer, batch, max_klen, self.n_head,
                            self.d_head), dtype=self.dtype)
+        else:
+            raise ValueError(f'MusicGPT2 decode supports khd/dk, got {layout!r}')
         return {'k': k, 'v': jnp.zeros_like(k)}
 
     def decode_step(self, token: jax.Array, seg: jax.Array, t: jax.Array,
@@ -260,24 +264,18 @@ class MusicGPT2(nn.Module):
             pe = sinusoid_position_encoding(self.max_len, self.d_embed)
             rows = jnp.take(pe, jnp.clip(t, 0, self.max_len - 1), axis=0)
             emb = emb + rows[:, None, :].astype(emb.dtype)
+        from ..ops.attention import layout_equations, write_row_pe
+        if layout not in ('khd', 'dk'):
+            raise ValueError(f'MusicGPT2 decode supports khd/dk, got {layout!r}')
         h = emb
         k_all, v_all = cache['k'], cache['v']
         B = token.shape[0]
         Kmax = k_all.shape[-1] if layout == 'dk' else k_all.shape[2]
         positions = jnp.arange(Kmax)
-        eq_s = 'bhd,bhdj->bhj' if layout == 'dk' else 'bhd,bjhd->bhj'
-        eq_v = 'bhj,bhdj->bhd' if layout == 'dk' else 'bhj,bjhd->bhd'
+        eq_s, eq_v = layout_equations(layout)
 
-        if layout == 'dk':
-            def write(cache_layer, new_row):
-                return jax.vmap(
-                    lambda c, kk, tb: jax.lax.dynamic_update_slice(
-                        c, kk[..., None], (0, 0, tb)))(cache_layer, new_row, t)
-        else:
-            def write(cache_layer, new_row):
-                return jax.vmap(
-                    lambda c, kk, tb: jax.lax.dynamic_update_slice(
-                        c, kk[None], (tb, 0, 0)))(cache_layer, new_row, t)
+        def write(cache_layer, new_row):
+            return write_row_pe(cache_layer, new_row, t, layout)
 
         for i, block in enumerate(self.blocks):
             hh = block.ln_1(h)

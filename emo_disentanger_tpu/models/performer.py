@@ -121,7 +121,13 @@ class PerformerLayer(nn.Module):
         B = x.shape[0]
         if fused is None:
             fused = os.environ.get('EMODIS_FUSED_DECODE', '') == '1'
-            fused = fused and state_layout == 'md'
+            if fused and state_layout != 'md':
+                import warnings
+                warnings.warn("EMODIS_FUSED_DECODE=1 ignored: the fused "
+                              "decode kernel carries [M, Dh] state and "
+                              f"state_layout={state_layout!r} is selected; "
+                              "using the composed path", RuntimeWarning)
+                fused = False
         if fused:
             assert state_layout == 'md', \
                 'the fused decode kernel carries [M, Dh] state'

@@ -186,21 +186,10 @@ class TXLSelfAttention(nn.Module):
         q, k, v = jnp.split(self.qkv_net(inp), 3, axis=-1)
         q = q.reshape(B, self.n_head, self.d_head)
 
-        if layout == 'dk':
-            def write(cache_layer, new_row):
-                return jax.vmap(
-                    lambda c, kk, tb: jax.lax.dynamic_update_slice(
-                        c, kk[..., None], (0, 0, tb)))(cache_layer, new_row, t)
-        elif layout == 'hkd':
-            def write(cache_layer, new_row):
-                return jax.vmap(
-                    lambda c, kk, tb: jax.lax.dynamic_update_slice(
-                        c, kk[:, None], (0, tb, 0)))(cache_layer, new_row, t)
-        else:
-            def write(cache_layer, new_row):
-                return jax.vmap(
-                    lambda c, kk, tb: jax.lax.dynamic_update_slice(
-                        c, kk[None], (tb, 0, 0)))(cache_layer, new_row, t)
+        from ..ops.attention import write_row_pe
+
+        def write(cache_layer, new_row):
+            return write_row_pe(cache_layer, new_row, t, layout)
 
         k_all = k_all.at[layer_idx].set(
             write(k_all[layer_idx], k.reshape(B, self.n_head, self.d_head)))
@@ -438,6 +427,11 @@ class PlainTransformer(nn.Module):
         the axon AOT helper).  ``layout`` must match the cache's
         (``init_decode_cache``); 'dk' implies the whole-cache path."""
         if layout in ('dk', 'hkd'):
+            if full_attention is False:
+                raise ValueError(
+                    f"layout {layout!r} stores the cache head-major, which "
+                    "only the whole-cache einsum path reads; "
+                    "full_attention=False (chunked flash) needs layout='khd'")
             full_attention = True
         elif full_attention is None:
             full_attention = token.shape[0] >= 32

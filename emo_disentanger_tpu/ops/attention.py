@@ -22,6 +22,43 @@ import jax.numpy as jnp
 
 NEG_INF = -1e30
 
+VALID_LAYOUTS = ('khd', 'dk', 'hkd')
+
+
+def layout_equations(layout: str):
+    """(scores, value) einsum equations for a decode-cache layout:
+    q [B,H,Dh] x cache -> scores [B,H,K]; probs [B,H,K] x cache -> [B,H,Dh].
+    One source of truth for every layout-dispatching decode body."""
+    if layout == 'dk':        # cache [B, H, Dh, K]
+        return 'bhd,bhdj->bhj', 'bhj,bhdj->bhd'
+    if layout == 'hkd':       # cache [B, H, K, Dh]
+        return 'bhd,bhjd->bhj', 'bhj,bhjd->bhd'
+    if layout == 'khd':       # cache [B, K, H, Dh]
+        return 'bhd,bjhd->bhj', 'bhj,bjhd->bhd'
+    raise ValueError(f'unknown cache layout {layout!r}; '
+                     f'expected one of {VALID_LAYOUTS}')
+
+
+def write_row_pe(cache_layer, new_row, t, layout: str):
+    """Per-element-clock cache write: new_row [B,H,Dh] lands at each
+    element's own position t[b] in cache_layer (leading dim B), under any
+    layout.  vmapped dynamic_update_slice — the same pattern every
+    batched-generation decode uses."""
+    if layout == 'dk':
+        return jax.vmap(
+            lambda c, kk, tb: jax.lax.dynamic_update_slice(
+                c, kk[..., None], (0, 0, tb)))(cache_layer, new_row, t)
+    if layout == 'hkd':
+        return jax.vmap(
+            lambda c, kk, tb: jax.lax.dynamic_update_slice(
+                c, kk[:, None], (0, tb, 0)))(cache_layer, new_row, t)
+    if layout == 'khd':
+        return jax.vmap(
+            lambda c, kk, tb: jax.lax.dynamic_update_slice(
+                c, kk[None], (tb, 0, 0)))(cache_layer, new_row, t)
+    raise ValueError(f'unknown cache layout {layout!r}; '
+                     f'expected one of {VALID_LAYOUTS}')
+
 
 def flash_decode_attention(
     q: jax.Array,              # [B, H, Dh]  (for TXL pass q + r_w_bias here)
@@ -180,10 +217,9 @@ def _full_decode_attention_dk(
     'dk' cache reads avoid."""
     if layout == 'hkd':
         B, H, Kmax, Dh = k_cache.shape
-        eq_s, eq_v = 'bhd,bhjd->bhj', 'bhj,bhjd->bhd'
     else:
         B, H, Dh, Kmax = k_cache.shape
-        eq_s, eq_v = 'bhd,bhdj->bhj', 'bhj,bhdj->bhd'
+    eq_s, eq_v = layout_equations(layout)
     s = jnp.einsum(eq_s, q, k_cache, preferred_element_type=jnp.float32)
     if rel is not None:
         rr_q, r_heads = rel               # r_heads [H, Dh, Kmax]
@@ -226,13 +262,11 @@ def full_decode_attention_pe(
     ``[H, Dh, Kmax]`` (see :func:`full_decode_attention`)."""
     if layout == 'dk':
         B, H, Dh, Kmax = k_cache.shape
-        eq_s, eq_v = 'bhd,bhdj->bhj', 'bhj,bhdj->bhd'
     elif layout == 'hkd':
         B, H, Kmax, Dh = k_cache.shape
-        eq_s, eq_v = 'bhd,bhjd->bhj', 'bhj,bhjd->bhd'
     else:
         B, Kmax, H, Dh = k_cache.shape
-        eq_s, eq_v = 'bhd,bjhd->bhj', 'bhj,bjhd->bhd'
+    eq_s, eq_v = layout_equations(layout)
     s = jnp.einsum(eq_s, q, k_cache, preferred_element_type=jnp.float32)
     # r_heads: [Kmax, H, Dh] for 'khd'; [H, Dh, Kmax] for 'dk'/'hkd'
     r_rows = None if rel is None else (
