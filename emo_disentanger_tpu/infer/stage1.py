@@ -42,8 +42,13 @@ STATUS_OVERFLOW = 3
 def _make_song_loop(model: PlainTransformer, tables: RuleTables, *,
                     temp: float, top_p: float, key_temp: float = 1.1,
                     key_top_p: float = 0.97, max_events: int, max_bars_cap: int,
-                    functional: bool, max_iters: int, max_klen: int):
-    """Build the jitted whole-song decode function."""
+                    functional: bool, max_iters: int, max_klen: int,
+                    cache_layout: str = 'khd'):
+    """Build the jitted whole-song decode function.
+
+    ``cache_layout != 'khd'`` decodes with the whole-cache einsum over the
+    head-major cache (see ``ops.attention.full_decode_attention``); 'khd'
+    keeps the model's batch-based flash/einsum auto-select."""
     is_beat = jnp.asarray(tables.is_beat)
     beat_pos = jnp.asarray(tables.beat_pos)
     is_bar = jnp.asarray(tables.is_bar)
@@ -55,13 +60,14 @@ def _make_song_loop(model: PlainTransformer, tables: RuleTables, *,
     def song(params, primer: jax.Array, primer_len: jax.Array,
              prompt_bars: jax.Array, target_bars: jax.Array,
              want_major: jax.Array, rng: jax.Array):
-        cache = model.apply(params, 1, max_klen,
+        cache = model.apply(params, 1, max_klen, cache_layout,
                             method=PlainTransformer.init_decode_cache)
 
         # prefill all but the last primer token
         def prefill_body(i, carry):
             cache, _ = carry
             _, cache = model.apply(params, primer[i][None], i, cache,
+                                   layout=cache_layout,
                                    method=PlainTransformer.decode_step)
             return cache, 0
         cache, _ = jax.lax.fori_loop(0, primer_len - 1, prefill_body, (cache, 0))
@@ -93,6 +99,7 @@ def _make_song_loop(model: PlainTransformer, tables: RuleTables, *,
 
         def body(s):
             logits, cache = model.apply(params, s['last'][None], s['t'], s['cache'],
+                                        layout=cache_layout,
                                         method=PlainTransformer.decode_step)
             t = s['t'] + 1
             rng, sub = jax.random.split(s['rng'])
@@ -152,7 +159,14 @@ class Stage1Generator:
     def __init__(self, model: PlainTransformer, params, vocab: Vocab, *,
                  temp: float = 1.2, top_p: float = 0.97,
                  max_events: int = 512, max_bars: int = 128,
-                 functional: bool = True, reject_slack: int = 1024):
+                 functional: bool = True, reject_slack: int = 1024,
+                 cache_layout: Optional[str] = None):
+        # cache memory layout, as Stage1BatchGenerator's (khd/dk/hkd);
+        # defaults to the EMODIS_S1_CACHE_LAYOUT env var
+        import os as _os
+        if cache_layout is None:
+            cache_layout = _os.environ.get('EMODIS_S1_CACHE_LAYOUT', 'khd')
+        assert cache_layout in ('khd', 'dk', 'hkd'), cache_layout
         self.model = model
         self.params = params
         self.vocab = vocab
@@ -165,7 +179,7 @@ class Stage1Generator:
             model, self.tables, temp=temp, top_p=top_p,
             max_events=max_events, max_bars_cap=max_bars,
             functional=functional, max_iters=max_iters,
-            max_klen=max_events + reject_slack)
+            max_klen=max_events + reject_slack, cache_layout=cache_layout)
         self._primer_pad = 64
 
     def generate(self, emotion: str, seed: int,

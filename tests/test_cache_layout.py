@@ -280,3 +280,23 @@ def test_performer_generator_streams_match_across_layouts():
     assert s_khd == s_dk
     assert st_khd['status'] == st_dk['status']
     assert st_khd['rejects'] == st_dk['rejects']
+
+
+def test_single_song_generator_streams_match_across_layouts():
+    """The single-song stage-1 loop (flash auto-select under 'khd', whole-
+    cache einsum under 'dk'/'hkd') emits the same song either way."""
+    from emo_disentanger_tpu.infer.stage1 import Stage1Generator
+    vocab = tiny_vocab2()
+    model = PlainTransformer(vocab_size=vocab.size, n_layer=2, n_head=2,
+                             d_model=32, d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    results = {}
+    for layout in ('khd', 'dk'):
+        gen = Stage1Generator(model, params, vocab, temp=1.2, top_p=0.97,
+                              max_events=40, max_bars=2, functional=True,
+                              reject_slack=64, cache_layout=layout)
+        results[layout] = gen.generate('Q1', seed=9)
+    song_khd, stats_khd = results['khd']
+    song_dk, stats_dk = results['dk']
+    assert song_khd == song_dk
+    assert stats_khd['status'] == stats_dk['status']
