@@ -194,7 +194,8 @@ def stage1_to_files(gen1, vocab, out_dir, seed, n_files=None, s1_batch=None,
 
 
 def stage2_render(gen2, vocab, files, out_dir, seed, s2_batch=None,
-                  s2_bars=None, use_serve=False, vary_bars=False):
+                  s2_bars=None, use_serve=False, vary_bars=False,
+                  write_txt=False):
     """Batched stage-2 over (file x quadrant) jobs -> *_full.mid.
 
     ``use_serve``: continuous batching — all jobs stream through ``gen2``'s
@@ -256,6 +257,12 @@ def stage2_render(gen2, vocab, files, out_dir, seed, s2_batch=None,
             n_rejects += sum(wstats['rejects'][:realn])
     for (path, emo, key, _, _), toks in zip(jobs, streams):
         gen_events = vocab.decode(toks)
+        if write_txt:
+            # full generation event stream per (file, quadrant) — the
+            # input of cli/evaluate.py's objective metrics (EVAL artifact)
+            from emo_disentanger_tpu.infer.pipeline import events_to_txt
+            events_to_txt(gen_events,
+                          path.replace('_roman.txt', f'_{emo}_full.txt'))
         try:
             bars = extract_midi_events_from_generation(key, gen_events,
                                                        relative_melody=True)

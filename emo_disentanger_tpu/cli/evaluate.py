@@ -25,7 +25,10 @@ def evaluate_dir(gen_dir: str, suffix: str = '.txt') -> dict:
         if not fname.endswith(suffix) or fname.endswith('roman.txt'):
             continue
         label = None
-        for tag in ('Positive', 'Negative', 'Q1', 'Q2', 'Q3', 'Q4'):
+        # quadrant tags first: stage-2 outputs carry BOTH the stage-1
+        # valence tag and the rendered quadrant (e.g. samp_00_Positive_Q1),
+        # and the quadrant is the finer label
+        for tag in ('Q1', 'Q2', 'Q3', 'Q4', 'Positive', 'Negative'):
             if tag in fname:
                 label = tag
                 break

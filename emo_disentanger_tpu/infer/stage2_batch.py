@@ -65,7 +65,8 @@ class Stage2BatchGenerator:
                  gpt2_window: int = 2048, reanchor_margin: int = 256,
                  serve_chunk_steps: int = 192,
                  omegas: Optional[jax.Array] = None,
-                 cache_layout: Optional[str] = None):
+                 cache_layout: Optional[str] = None,
+                 mesh=None):
         self.is_performer = isinstance(model, MusicPerformer)
         if self.is_performer and omegas is None:
             raise ValueError('Performer decoding needs drawn omegas')
@@ -102,6 +103,24 @@ class Stage2BatchGenerator:
         self.max_bars = max_bars
         self.serve_chunk_steps = serve_chunk_steps
         self.omegas = omegas
+        # Multi-chip serving: with a >1-device mesh, every B-leading job
+        # array is committed batch-sharded over the mesh's data axes and
+        # the ONE compiled loop runs SPMD — the per-element control flow is
+        # embarrassingly data-parallel, so the only collective the
+        # partitioner inserts is the while-cond's global any().  The
+        # reference serves one file per process (single GPU,
+        # stage2_accompaniment/inference.py:422-485); this scales the same
+        # loop over n chips.  Per-element math is unchanged, so streams are
+        # bit-identical to the 1-device run (pinned by
+        # tests/test_multichip_serving.py).
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None:
+            dp = (self.mesh.shape.get('dp', 1)
+                  * self.mesh.shape.get('dcn', 1))
+            if batch % dp:
+                raise ValueError(
+                    f'batch={batch} not divisible by the mesh data axes '
+                    f'(dp*dcn={dp})')
         self.tables = build_rule_tables(vocab)
         self._build_core()
         self._loop = jax.jit(self._lockstep_loop)
@@ -520,14 +539,28 @@ class Stage2BatchGenerator:
                     (1, B) + (1,) * (a.ndim - 2)).astype(a.dtype), s['state'])
         return dict(s, **upd)
 
+    def _put_b(self, x):
+        """Upload one B-leading array — batch-sharded over the mesh's data
+        axes when serving multi-chip, plain ``jnp.asarray`` otherwise."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from ..parallel.mesh import batch_sharding
+        return jax.device_put(np.asarray(x), batch_sharding(self.mesh))
+
+    def _put_rng(self, key):
+        if self.mesh is None:
+            return key
+        from ..parallel.mesh import replicated_sharding
+        return jax.device_put(key, replicated_sharding(self.mesh))
+
     def _job_rows(self, inj_tokens, inj_segs, inj_len, primer_arr,
                   primer_len, target_bars, rows):
         """Gather B-shaped job arrays for ``_reset_slots`` (host-side numpy
         fancy-index; rows of unmasked slots are ignored by the where)."""
         r = np.asarray(rows)
-        return (jnp.asarray(inj_tokens[r]), jnp.asarray(inj_segs[r]),
-                jnp.asarray(inj_len[r]), jnp.asarray(primer_arr[r]),
-                jnp.asarray(primer_len[r]), jnp.asarray(target_bars[r]))
+        return (self._put_b(inj_tokens[r]), self._put_b(inj_segs[r]),
+                self._put_b(inj_len[r]), self._put_b(primer_arr[r]),
+                self._put_b(primer_len[r]), self._put_b(target_bars[r]))
 
     def _prep_jobs(self, primers, lead_sheet_bars, max_bars):
         """Pack N jobs into padded arrays [N, ...] (N need not equal B)."""
@@ -588,10 +621,10 @@ class Stage2BatchGenerator:
 
         t0 = time.time()
         out, out_len, status, bars, reanchors, rejects = self._loop(
-            jnp.asarray(inj_tokens), jnp.asarray(inj_segs),
-            jnp.asarray(inj_len), jnp.asarray(primer_arr),
-            jnp.asarray(primer_len), jnp.asarray(target_bars),
-            jax.random.PRNGKey(seed))
+            self._put_b(inj_tokens), self._put_b(inj_segs),
+            self._put_b(inj_len), self._put_b(primer_arr),
+            self._put_b(primer_len), self._put_b(target_bars),
+            self._put_rng(jax.random.PRNGKey(seed)))
         out = np.asarray(out)
         out_len = np.asarray(out_len)
         secs = time.time() - t0
@@ -647,19 +680,20 @@ class Stage2BatchGenerator:
         t0 = time.time()
         first = min(B, N)
         fill = list(range(first)) + [0] * (B - first)   # extras idled below
-        s = self._initj(jnp.asarray(inj_tokens[fill]),
-                        jnp.asarray(inj_segs[fill]),
-                        jnp.asarray(inj_len[fill]),
-                        jnp.asarray(primer_arr[fill]),
-                        jnp.asarray(primer_len[fill]),
-                        jnp.asarray(target_bars[fill]),
-                        jax.random.PRNGKey(seed))
+        s = self._initj(self._put_b(inj_tokens[fill]),
+                        self._put_b(inj_segs[fill]),
+                        self._put_b(inj_len[fill]),
+                        self._put_b(primer_arr[fill]),
+                        self._put_b(primer_len[fill]),
+                        self._put_b(target_bars[fill]),
+                        self._put_rng(jax.random.PRNGKey(seed)))
         slot_job: List[Optional[int]] = list(range(first)) + [None] * (B - first)
         if first < B:
             # one masked dispatch idles every unused slot
             idle0 = np.zeros(B, bool)
             idle0[first:] = True
-            s = self._refill(s, jnp.zeros(B, bool), jnp.asarray(idle0),
+            s = self._refill(s, self._put_b(np.zeros(B, bool)),
+                             self._put_b(idle0),
                              *self._job_rows(inj_tokens, inj_segs, inj_len,
                                              primer_arr, primer_len,
                                              target_bars, [0] * B))
@@ -715,7 +749,7 @@ class Stage2BatchGenerator:
                 else:
                     idle[b] = True
                     slot_job[b] = None
-            s = self._refill(s, jnp.asarray(mask), jnp.asarray(idle),
+            s = self._refill(s, self._put_b(mask), self._put_b(idle),
                              *self._job_rows(inj_tokens, inj_segs, inj_len,
                                              primer_arr, primer_len,
                                              target_bars, rows))

@@ -109,3 +109,12 @@ def test_evaluate_dir(tmp_path):
     assert report['Positive']['major_ratio'] == 1.0
     assert report['Negative']['major_ratio'] == 0.0
     assert report['Positive']['n_pieces'] == 1
+
+    # stage-2 outputs carry BOTH tags (samp_00_Positive_Q1_full.txt):
+    # the quadrant must win the grouping (EVAL artifact contract)
+    (tmp_path / 'samp_01_Positive_Q1_full.txt').write_text('\n'.join(pos))
+    (tmp_path / 'samp_01_Negative_Q3_full.txt').write_text('\n'.join(neg))
+    report = evaluate_dir(str(tmp_path))
+    assert set(report) == {'Positive', 'Negative', 'Q1', 'Q3'}
+    assert report['Q1']['major_ratio'] == 1.0
+    assert report['Q3']['major_ratio'] == 0.0
