@@ -255,7 +255,7 @@ def _stage2_vocab():
 
 
 def _stage2_generator(vocab, batch, max_events, backbone='performer',
-                      temp=None, top_p=None):
+                      temp=None, top_p=None, gpt2_tiers=None):
     from emo_disentanger_tpu.models import MusicPerformer, MusicGPT2
     from emo_disentanger_tpu.infer.stage2_batch import Stage2BatchGenerator
     from emo_disentanger_tpu.utils.precision import cast_params
@@ -281,11 +281,11 @@ def _stage2_generator(vocab, batch, max_events, backbone='performer',
     return Stage2BatchGenerator(model, params, vocab, batch=batch, temp=temp,
                                 top_p=top_p, max_events=max_events,
                                 max_bar_tokens=32, max_bars=16,
-                                omegas=omegas)
+                                omegas=omegas, gpt2_tiers=gpt2_tiers)
 
 
 def bench_sampled_generation(batch=16, max_events=1500, backbone='performer',
-                             continuous=False, n_jobs=None):
+                             continuous=False, n_jobs=None, gpt2_tiers=None):
     """The production serving loop: Stage2BatchGenerator with full nucleus
     sampling, rejection rules and per-bar teacher forcing on device.
 
@@ -293,7 +293,8 @@ def bench_sampled_generation(batch=16, max_events=1500, backbone='performer',
     job queue) over ``n_jobs`` (default 2x batch) jobs instead of one
     lockstep wave."""
     vocab = _stage2_vocab()
-    gen = _stage2_generator(vocab, batch, max_events, backbone)
+    gen = _stage2_generator(vocab, batch, max_events, backbone,
+                            gpt2_tiers=gpt2_tiers)
     bar = [vocab.event2idx[e] for e in ['Bar_None', 'Beat_0', 'Chord_I_M']]
     primer = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
               vocab.event2idx['Tempo_110']]
@@ -419,6 +420,23 @@ def sec_sampled_gpt2():
                       'unit': 'tokens/sec/chip'}), flush=True)
 
 
+def sec_gpt2_ladder():
+    # cache-ladder A/B on the REAL serving loop: the dense decode reads the
+    # whole buffer per step, so tiers [1024, 2048] under the 4096 re-anchor
+    # cache should recover most of the cache-read tax for songs that live
+    # below 2048 written tokens (the 1500-event serving config here)
+    base = bench_sampled_generation(batch=16, backbone='gpt2')
+    ladder = bench_sampled_generation(batch=16, backbone='gpt2',
+                                      gpt2_tiers=[1024, 2048])
+    print(json.dumps({'metric': 'stage2 GPT-2 batched generation cache '
+                                'LADDER A/B (B=16 bf16, tiers [1024, 2048] '
+                                'under the 4096 re-anchor cache)',
+                      'value': round(ladder, 1),
+                      'baseline_no_ladder': round(base, 1),
+                      'speedup': round(ladder / base, 2),
+                      'unit': 'tokens/sec/chip'}), flush=True)
+
+
 def sec_continuous():
     for b in (16, 64):
         tps = bench_sampled_generation(batch=b, continuous=True)
@@ -520,6 +538,7 @@ SECTIONS = {
     'decode_gpt2': sec_decode_gpt2,
     'sampled_performer': sec_sampled_performer,
     'sampled_gpt2': sec_sampled_gpt2,
+    'gpt2_ladder': sec_gpt2_ladder,
     'continuous': sec_continuous,
     'stage1_gen': sec_stage1_gen,
     'stage1_serve': sec_stage1_serve,

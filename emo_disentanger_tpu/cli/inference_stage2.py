@@ -36,7 +36,16 @@ def main(argv=None):
     parser.add_argument('--gpt2_window', type=int, default=2048,
                         help='GPT-2 batched decode: window re-anchor width '
                              '(reference inference.py:250-257 uses 2048)')
+    parser.add_argument('--gpt2_tiers', default='',
+                        help='GPT-2 batched decode cache LADDER: comma-'
+                             'separated ascending cache sizes below '
+                             'gpt2_cache_len (e.g. "1024,2048"); the dense '
+                             'decode reads its whole buffer per step, so '
+                             'tiers cut early-song cache traffic; streams '
+                             'are bit-identical to a single big cache')
     args = parser.parse_args(argv)
+    tiers = ([int(t) for t in args.gpt2_tiers.split(',') if t.strip()]
+             or None)
 
     from ..infer import run_stage2
     return run_stage2.run(resolve_config(args.configuration),
@@ -46,7 +55,8 @@ def main(argv=None):
                           play_midi=args.play_midi, seed=args.seed,
                           batch_size=args.batch, serve=args.serve,
                           gpt2_cache_len=args.gpt2_cache_len,
-                          gpt2_window=args.gpt2_window)
+                          gpt2_window=args.gpt2_window,
+                          gpt2_tiers=tiers)
 
 
 if __name__ == '__main__':

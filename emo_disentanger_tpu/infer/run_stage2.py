@@ -38,7 +38,8 @@ def run(config_path: str, representation: str, model_type: str, *,
         seed: int = 0, max_events: int = 10000,
         max_bars_override: Optional[int] = None,
         batch_size: int = 0, serve: bool = False,
-        gpt2_cache_len: int = 4096, gpt2_window: int = 2048) -> dict:
+        gpt2_cache_len: int = 4096, gpt2_window: int = 2048,
+        gpt2_tiers=None) -> dict:
     """``batch_size > 0`` decodes that many (file, quadrant) jobs
     simultaneously in one device loop
     (:class:`..infer.stage2_batch.Stage2BatchGenerator`; both backbones —
@@ -85,7 +86,8 @@ def run(config_path: str, representation: str, model_type: str, *,
                             batch_size=batch_size, seed=seed,
                             play_midi=play_midi, serve=serve,
                             gpt2_cache_len=gpt2_cache_len,
-                            gpt2_window=gpt2_window)
+                            gpt2_window=gpt2_window,
+                            gpt2_tiers=gpt2_tiers)
 
     n_ok = 0
     times = []
@@ -131,7 +133,7 @@ def run(config_path: str, representation: str, model_type: str, *,
 def _run_batched(*, generator, model, params, vocab, omegas, files,
                  functional, output_dir, samp, max_events, max_bars,
                  batch_size, seed, play_midi, serve=False,
-                 gpt2_cache_len=4096, gpt2_window=2048):
+                 gpt2_cache_len=4096, gpt2_window=2048, gpt2_tiers=None):
     """Render all (file, quadrant) jobs in device-batched groups, or —
     with ``serve`` — stream them all through ``batch_size`` slots with
     refill-on-finish."""
@@ -153,7 +155,8 @@ def _run_batched(*, generator, model, params, vocab, omegas, files,
                                temp=samp['temp'], top_p=samp['top_p'],
                                max_events=max_events, max_bars=max_bars,
                                omegas=omegas, gpt2_cache_len=gpt2_cache_len,
-                               gpt2_window=gpt2_window)
+                               gpt2_window=gpt2_window,
+                               gpt2_tiers=gpt2_tiers)
     tempo_id = vocab.event2idx['Tempo_110']
 
     def prep(job_list):

@@ -50,6 +50,7 @@ STATUS_MAX = 3
 STATUS_STUCK = 4
 STATUS_DONE_BARS = 5
 STATUS_IDLE = 6          # serve(): slot drained, no job to refill
+STATUS_OVERFLOW = 7      # gpt2_tiers: element outgrew this tier's cache
 
 MODE_SAMPLE = 0
 MODE_INJECT = 1
@@ -66,6 +67,7 @@ class Stage2BatchGenerator:
                  serve_chunk_steps: int = 192,
                  omegas: Optional[jax.Array] = None,
                  cache_layout: Optional[str] = None,
+                 gpt2_tiers: Optional[Sequence[int]] = None,
                  mesh=None):
         self.is_performer = isinstance(model, MusicPerformer)
         if self.is_performer and omegas is None:
@@ -122,7 +124,40 @@ class Stage2BatchGenerator:
                     f'batch={batch} not divisible by the mesh data axes '
                     f'(dp*dcn={dp})')
         self.tables = build_rule_tables(vocab)
-        self._build_core()
+        # GPT-2 cache LADDER (stage-1's tiered-Kmax design, stage1_batch.py):
+        # the dense decode reads the WHOLE cache buffer every step, so the
+        # 4096-slot re-anchor cache taxes every early-song token with reads
+        # of slots it hasn't written yet.  ``gpt2_tiers`` runs lockstep
+        # ``generate`` through ascending cache sizes: the moment ANY element
+        # reaches the current tier's cache end the loop hands back, the k/v
+        # buffers are padded into the next tier and the SAME body continues
+        # from the carried state (rng chain included) — unlike stage 1's
+        # shared write clock, GPT-2 clocks are per-element, so the ladder
+        # exits on the FIRST overflow rather than idling overflowed elements
+        # (idling would shift their rng draws).  Streams are therefore
+        # bitwise identical to the single-big-cache run (attention masks
+        # positions > t, so logits are Kmax-independent given the history;
+        # pinned by tests/test_gpt2_ladder.py).  serve() ignores the ladder
+        # (its refills interleave jobs at mixed clocks).  Reference context:
+        # the sliding window re-forward of stage2_accompaniment/
+        # inference.py:250-257 has no cache at all.
+        self._tier_loops = None
+        self._tier_resumes = []
+        if gpt2_tiers and not self.is_performer:
+            # a tier must be unreachable by BOTH re-anchor triggers, so the
+            # in-tier guard is exactly "cache slot about to run out"
+            hi = gpt2_cache_len - max_bar_tokens - reanchor_margin - 2
+            tiers = sorted({int(k) for k in gpt2_tiers if 16 <= k < hi})
+            if not tiers:
+                raise ValueError(
+                    f'gpt2_tiers must contain values in [16, {hi}) '
+                    f'(got {list(gpt2_tiers)})')
+            self._tier_loops = [
+                jax.jit(self._make_tier_loop(tiers[0]))]
+            self._tier_resumes = [
+                jax.jit(self._make_tier_resume(k), donate_argnums=0)
+                for k in tiers[1:] + [gpt2_cache_len]]
+        self._init_state, self._body, self._running = self._build_core()
         self._loop = jax.jit(self._lockstep_loop)
         self._initj = jax.jit(self._init_state)
         # serve(): donating jits — old state buffers are reused in place
@@ -131,15 +166,22 @@ class Stage2BatchGenerator:
         self._idle = jax.jit(self._idle_slot, donate_argnums=0)
         self._refill = jax.jit(self._reset_slots, donate_argnums=0)
 
-    def _build_core(self):
-        """Define the shared loop body over a state dict that CONTAINS the
-        per-job inputs (injection matrices, primer rows, bar targets).
+    def _build_core(self, tier_len: Optional[int] = None):
+        """Define the loop body over a state dict that CONTAINS the
+        per-job inputs (injection matrices, primer rows, bar targets);
+        returns ``(init_state, body, running)``.
 
         Keeping jobs in the carry — rather than closed over as loop
         arguments — is what makes continuous batching possible: ``serve()``
         swaps one finished slot's job with a tiny jitted in-place update
         and re-enters the same compiled loop, instead of recompiling or
-        re-uploading whole batch inputs."""
+        re-uploading whole batch inputs.
+
+        ``tier_len`` (GPT-2 ladder) sizes the KV cache below
+        ``gpt2_cache_len``; elements about to outrun it flip to
+        STATUS_OVERFLOW (both re-anchor triggers are unreachable inside a
+        tier — enforced at construction)."""
+        cache_len = tier_len or self.gpt2_cache_len
         tb = self.tables
         is_beat = jnp.asarray(tb.is_beat)
         beat_pos = jnp.asarray(tb.beat_pos)
@@ -229,7 +271,7 @@ class Stage2BatchGenerator:
                                          self._state_layout,
                                          method=MusicPerformer.init_decode_state)
             else:
-                state = self.model.apply(self.params, B, self.gpt2_cache_len,
+                state = self.model.apply(self.params, B, cache_len,
                                          self.cache_layout,
                                          method=MusicGPT2.init_decode_cache)
             out = jnp.zeros((B, self.max_events + 8), jnp.int32)
@@ -270,7 +312,11 @@ class Stage2BatchGenerator:
             return s['status'] == STATUS_RUNNING
 
         def body(s):
-            if not self.is_performer:
+            # tiered bodies skip the re-anchor entirely: both triggers are
+            # unreachable inside a tier (enforced at construction), and
+            # lax.cond TRACES the re-anchor branch, whose full-cache-shaped
+            # k/v select cannot typecheck against a tier-sized cache
+            if not self.is_performer and cache_len == self.gpt2_cache_len:
                 s = maybe_reanchor(s)
             rng, sub = jax.random.split(s['rng'])
             keys = jax.random.split(sub, B)
@@ -374,6 +420,14 @@ class Stage2BatchGenerator:
                                STATUS_MAX, status)
             status = jnp.where(act & bar_done & ~more, STATUS_DONE_BARS,
                                status)
+            if tier_len is not None and tier_len < self.gpt2_cache_len:
+                # ladder guard: this step wrote at position t-1 < tier_len;
+                # flag BEFORE the next write would hit the cache end.  Only
+                # still-running elements flip (a song finishing on the same
+                # step stays finished)
+                status = jnp.where((status == STATUS_RUNNING) & act
+                                   & (t >= tier_len - 2),
+                                   STATUS_OVERFLOW, status)
 
             return dict(s, state=state, logits=logits, t=t, out=out,
                         out_segs=out_segs, out_len=out_len, mode=mode,
@@ -384,11 +438,56 @@ class Stage2BatchGenerator:
                         status=status, need_re=need_re,
                         iters=s['iters'] + 1, rng=rng)
 
-        self._init_state = init_state
-        self._running = running
-        self._body = body
+        return init_state, body, running
 
     # ---- compiled drivers over the shared body ----
+
+    def _make_tier_loop(self, tier_len: int):
+        """Lockstep driver for the FIRST ladder tier: init at ``tier_len``
+        slots, run until everyone finishes or anyone overflows; returns the
+        full carry (the resume tiers need it)."""
+        init_state, body, running = self._build_core(tier_len)
+
+        def loop(inj_tokens, inj_segs, inj_len, primer, primer_len,
+                 target_bars, rng):
+            s = init_state(inj_tokens, inj_segs, inj_len, primer,
+                           primer_len, target_bars, rng)
+
+            def cond(s):
+                return (jnp.any(running(s))
+                        & ~jnp.any(s['status'] == STATUS_OVERFLOW)
+                        & (s['iters'] < self._max_iters))
+
+            return jax.lax.while_loop(cond, body, s)
+
+        return loop
+
+    def _make_tier_resume(self, tier_len: int):
+        """Continuation at the next tier: pad the carried k/v buffers to
+        ``tier_len`` slots (unwritten positions are masked by the decode's
+        ``pos > t`` check, so logits — and therefore streams — are
+        unchanged), flip OVERFLOW back to RUNNING, re-enter the loop."""
+        _, body, running = self._build_core(tier_len)
+        k_axis = 4 if self.cache_layout == 'dk' else 2
+
+        def resume(s):
+            grow = tier_len - s['state']['k'].shape[k_axis]
+            pad = [(0, 0)] * 5
+            pad[k_axis] = (0, grow)
+            state = {'k': jnp.pad(s['state']['k'], pad),
+                     'v': jnp.pad(s['state']['v'], pad)}
+            s = dict(s, state=state,
+                     status=jnp.where(s['status'] == STATUS_OVERFLOW,
+                                      STATUS_RUNNING, s['status']))
+
+            def cond(s):
+                return (jnp.any(running(s))
+                        & ~jnp.any(s['status'] == STATUS_OVERFLOW)
+                        & (s['iters'] < self._max_iters))
+
+            return jax.lax.while_loop(cond, body, s)
+
+        return resume
 
     def _lockstep_loop(self, inj_tokens, inj_segs, inj_len, primer,
                        primer_len, target_bars, rng):
@@ -620,11 +719,27 @@ class Stage2BatchGenerator:
          target_bars) = self._prep_jobs(primers, lead_sheet_bars, max_bars)
 
         t0 = time.time()
-        out, out_len, status, bars, reanchors, rejects = self._loop(
-            self._put_b(inj_tokens), self._put_b(inj_segs),
-            self._put_b(inj_len), self._put_b(primer_arr),
-            self._put_b(primer_len), self._put_b(target_bars),
-            self._put_rng(jax.random.PRNGKey(seed)))
+        args = (self._put_b(inj_tokens), self._put_b(inj_segs),
+                self._put_b(inj_len), self._put_b(primer_arr),
+                self._put_b(primer_len), self._put_b(target_bars),
+                self._put_rng(jax.random.PRNGKey(seed)))
+        resumed = 0
+        if self._tier_loops is not None:
+            # cache ladder: walk ascending tiers; each resume pads the k/v
+            # buffers and continues the SAME carried loop state (streams are
+            # bitwise the single-big-cache run's)
+            s = self._tier_loops[0](*args)
+            for tier in self._tier_resumes:
+                status = np.asarray(s['status'])
+                if not (status == STATUS_OVERFLOW).any():
+                    break
+                resumed += 1
+                s = tier(s)
+            out, out_len, status, bars, reanchors, rejects = (
+                s['out'], s['out_len'], s['status'], s['bars'],
+                s['reanchors'], s['rejects'])
+        else:
+            out, out_len, status, bars, reanchors, rejects = self._loop(*args)
         out = np.asarray(out)
         out_len = np.asarray(out_len)
         secs = time.time() - t0
@@ -640,7 +755,10 @@ class Stage2BatchGenerator:
                  'bars': np.asarray(bars).tolist(),
                  'events': out_len.tolist(),
                  'reanchors': np.asarray(reanchors).tolist(),
-                 'rejects': np.asarray(rejects).tolist()}
+                 'rejects': np.asarray(rejects).tolist(),
+                 # ladder tier migrations this call (0 = never left tier 0
+                 # or the ladder is off)
+                 'tier_resumes': resumed}
         return streams, stats
 
     def serve(self, primers: Sequence[Sequence[int]],
