@@ -200,7 +200,8 @@ class Stage1BatchGenerator:
                  fast_slack: Optional[int] = 256,
                  tiers: Optional[List[int]] = None,
                  full_attention: bool = True,
-                 cache_layout: Optional[str] = None):
+                 cache_layout: Optional[str] = None,
+                 mesh=None):
         """``full_attention=True`` (default) decodes with the whole-cache
         einsum — the compile-safe path on the axon AOT helper at B>=8 (see
         the loop-body comment).  ``False`` selects the chunked flash decode
@@ -238,6 +239,21 @@ class Stage1BatchGenerator:
         if cache_layout is None:
             cache_layout = _os.environ.get('EMODIS_S1_CACHE_LAYOUT', 'khd')
         assert cache_layout in ('khd', 'dk', 'hkd'), cache_layout
+        # Multi-chip serving (the stage-2 design, stage2_batch.py): with a
+        # >1-device mesh every B-leading input is committed batch-sharded
+        # over the mesh data axes and the ONE compiled loop runs SPMD; the
+        # per-element math is unchanged, so streams are bit-identical to
+        # the 1-device run (tests/test_multichip_serving.py).  The
+        # reference generates single-GPU one song at a time
+        # (stage1_compose/inference.py:200-294).
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None:
+            dp = (self.mesh.shape.get('dp', 1)
+                  * self.mesh.shape.get('dcn', 1))
+            if batch % dp:
+                raise ValueError(
+                    f'batch={batch} not divisible by the mesh data axes '
+                    f'(dp*dcn={dp})')
         self.model = model
         self.params = params
         self.vocab = vocab
@@ -272,6 +288,20 @@ class Stage1BatchGenerator:
                          for k in klens[1:]]
         # back-compat alias used by tests/benches to detect tiering
         self._resume = self._resumes[0] if self._resumes else None
+
+    def _put_b(self, x):
+        """Upload one B-leading array — batch-sharded over the mesh's data
+        axes when serving multi-chip, plain ``jnp.asarray`` otherwise."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from ..parallel.mesh import batch_sharding
+        return jax.device_put(np.asarray(x), batch_sharding(self.mesh))
+
+    def _put_rng(self, key):
+        if self.mesh is None:
+            return key
+        from ..parallel.mesh import replicated_sharding
+        return jax.device_put(key, replicated_sharding(self.mesh))
 
     def generate(self, emotions: List[str], seed: int = 0,
                  target_bars=None,
@@ -313,18 +343,19 @@ class Stage1BatchGenerator:
             # short rows re-feed their final token (reject-equivalent)
             prim[b, len(row):] = row[-1]
             plen[b] = len(row)
-        want = jnp.asarray([emotion_wants_major(e) for e in emotions])
+        want = self._put_b(np.asarray([emotion_wants_major(e)
+                                       for e in emotions]))
         if isinstance(target_bars, (list, tuple, np.ndarray)):
-            tb = jnp.asarray(np.minimum(np.asarray(target_bars, np.int32),
+            tb = self._put_b(np.minimum(np.asarray(target_bars, np.int32),
                                         self.max_bars))
         else:
-            tb = jnp.full((self.batch,), target_bars or self.max_bars,
-                          jnp.int32)
+            tb = self._put_b(np.full((self.batch,),
+                                     target_bars or self.max_bars, np.int32))
 
         t0 = time.time()
-        args = (self.params, jnp.asarray(prim), jnp.asarray(plen),
-                jnp.asarray(pb), tb, want)
-        s = self._song(*args, jax.random.PRNGKey(seed))
+        args = (self.params, self._put_b(prim), self._put_b(plen),
+                self._put_b(pb), tb, want)
+        s = self._song(*args, self._put_rng(jax.random.PRNGKey(seed)))
         status = np.asarray(s['status'])
         resumed = 0
         for tier in self._resumes:
@@ -438,21 +469,22 @@ class Stage1BatchGenerator:
 
         def rows(r):
             r = np.asarray(r)
-            return (jnp.asarray(prim[r]), jnp.asarray(plen[r]),
-                    jnp.asarray(pb[r]), jnp.asarray(tb[r]),
-                    jnp.asarray(want[r]))
+            return (self._put_b(prim[r]), self._put_b(plen[r]),
+                    self._put_b(pb[r]), self._put_b(tb[r]),
+                    self._put_b(want[r]))
 
         t0 = time.time()
         first = min(B, N)
         fill = list(range(first)) + [0] * (B - first)
-        s = init_j(self.params, *rows(fill), jax.random.PRNGKey(seed))
+        s = init_j(self.params, *rows(fill),
+                   self._put_rng(jax.random.PRNGKey(seed)))
         slot_job: List[Optional[int]] = (list(range(first))
                                          + [None] * (B - first))
         if first < B:
             idle0 = np.zeros(B, bool)
             idle0[first:] = True
-            s = refill_j(s, jnp.zeros(B, bool), jnp.asarray(idle0),
-                         *rows([0] * B))
+            s = refill_j(s, self._put_b(np.zeros(B, bool)),
+                         self._put_b(idle0), *rows([0] * B))
         next_job = first
 
         songs_tok: List[Optional[List[int]]] = [None] * N
@@ -510,7 +542,7 @@ class Stage1BatchGenerator:
                 else:
                     idle[b] = True
                     slot_job[b] = None
-            s = refill_j(s, jnp.asarray(mask), jnp.asarray(idle),
+            s = refill_j(s, self._put_b(mask), self._put_b(idle),
                          *rows(fill_rows))
 
         secs = time.time() - t0

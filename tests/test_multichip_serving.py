@@ -101,6 +101,42 @@ def test_gpt2_generate_dp_matches_single():
     assert got == want
 
 
+def test_stage1_generate_dp_matches_single():
+    from emo_disentanger_tpu.models import PlainTransformer
+    from emo_disentanger_tpu.infer.stage1_batch import Stage1BatchGenerator
+    vocab = tiny_vocab2()
+    model = PlainTransformer(vocab_size=vocab.size, **SMALL)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    kw = dict(batch=8, temp=1.2, top_p=0.97, max_events=96, max_bars=4,
+              functional=True, reject_slack=128, fast_slack=64)
+    emos = ['Q1', 'Q2'] * 4
+    base = Stage1BatchGenerator(model, params, vocab, **kw)
+    want, wstats = base.generate(emos, seed=5)
+    sharded = Stage1BatchGenerator(model, params, vocab, mesh=make_mesh(8),
+                                   **kw)
+    got, gstats = sharded.generate(emos, seed=5)
+    assert got == want
+    assert gstats['status'] == wstats['status']
+
+
+def test_stage1_serve_dp_matches_single():
+    from emo_disentanger_tpu.models import PlainTransformer
+    from emo_disentanger_tpu.infer.stage1_batch import Stage1BatchGenerator
+    vocab = tiny_vocab2()
+    model = PlainTransformer(vocab_size=vocab.size, **SMALL)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32))
+    kw = dict(batch=8, temp=1.2, top_p=0.97, max_events=96, max_bars=3,
+              functional=True, reject_slack=128)
+    emos = ['Q1', 'Q2'] * 6               # 12 jobs through 8 slots
+    base = Stage1BatchGenerator(model, params, vocab, **kw)
+    want, _ = base.serve(emos, seed=9, chunk_steps=24)
+    sharded = Stage1BatchGenerator(model, params, vocab, mesh=make_mesh(8),
+                                   **kw)
+    got, gstats = sharded.serve(emos, seed=9, chunk_steps=24)
+    assert got == want
+    assert gstats['chunks'] >= 1
+
+
 def test_mesh_batch_divisibility_guard():
     vocab = tiny_vocab2()
     model, params, omegas = _performer(vocab)
