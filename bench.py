@@ -108,12 +108,13 @@ def bench_state_decode(model, params, omegas, batch=BATCH,
                        n_steps=DECODE_STEPS):
     """Our decode: greedy scan over decode_step with carried (S, z).
 
-    EMODIS_PERF_STATE_LAYOUT selects the FAVOR S layout ('md' default,
-    'dm' = M-in-lanes; see models.performer.init_decode_state)."""
+    EMODIS_PERF_STATE_LAYOUT selects the FAVOR S layout ('dm' default
+    since the round-5 on-chip A/B measured it 1.95x over 'md' at B=16;
+    see models.performer.init_decode_state)."""
     import jax
     import jax.numpy as jnp
     from emo_disentanger_tpu.models.performer import MusicPerformer
-    layout = os.environ.get('EMODIS_PERF_STATE_LAYOUT', 'md')
+    layout = os.environ.get('EMODIS_PERF_STATE_LAYOUT', 'dm')
 
     def run(tok0):
         state = model.apply(params, batch, layout,
@@ -172,8 +173,8 @@ def sub_primary(batch, n_steps, ctx_len, n_ref_tokens):
     ref = bench_reference_style(model, params, omegas, batch=batch,
                                 ctx_len=ctx_len, n_tokens=n_ref_tokens)
     out = {'ours': ours, 'ref': ref}
-    layout = os.environ.get('EMODIS_PERF_STATE_LAYOUT', 'md')
-    if layout != 'md':
+    layout = os.environ.get('EMODIS_PERF_STATE_LAYOUT', 'dm')
+    if layout != 'dm':
         out['state_layout'] = layout    # flag a non-default-layout artifact
     return out
 

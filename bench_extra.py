@@ -33,7 +33,7 @@ def bench_performer(batch, state_layout=None):
     # state_layout: FAVOR S layout ('md' | 'dm'); default from
     # EMODIS_PERF_STATE_LAYOUT so the chip A/B is an env flip
     state_layout = state_layout or os.environ.get('EMODIS_PERF_STATE_LAYOUT',
-                                                  'md')
+                                                  'dm')
     from emo_disentanger_tpu.models import MusicPerformer
     from emo_disentanger_tpu.models.performer import MusicPerformer as MP
     from emo_disentanger_tpu.utils.precision import cast_params
@@ -358,7 +358,7 @@ def sec_decode_txl():
 
 
 def sec_decode_performer():
-    layout = os.environ.get('EMODIS_PERF_STATE_LAYOUT', 'md')
+    layout = os.environ.get('EMODIS_PERF_STATE_LAYOUT', 'dm')
     for batch in (1, 16, 32, 64):
         print(json.dumps({'metric': 'stage2_performer decode', 'batch': batch,
                           'value': round(bench_performer(batch), 1),

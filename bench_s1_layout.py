@@ -22,12 +22,17 @@ Run on the chip: ``python bench_s1_layout.py`` (compiles ~6 tiny programs).
 """
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
-B, K, H, Dh = 16, 1536, 8, 64
+# EMODIS_LAYOUT_K overrides the cache size: K=1536 is the lead-sheet serving
+# shape; K=4096 is the full_song cache where the cache-read share is ~3x
+# larger and layout padding could still bite (round-5 measured K=1536 FLAT
+# across khd/hkd/dk — 3.55/3.63/3.60 ms/step — the step is latency-bound).
+B, K, H, Dh = 16, int(os.environ.get('EMODIS_LAYOUT_K', '1536')), 8, 64
 LAYERS = 12
 STEPS = 64
 
@@ -43,6 +48,12 @@ def time_fn(fn, *args):
 
 
 def main():
+    if os.environ.get('EMODIS_LAYOUT_RAW', '1') == '0':
+        # skip the raw einsum chains: measured round 5 they are
+        # dispatch-dominated (~32-38 ms per host round-trip for a 12-layer
+        # chain that costs 3.5 ms inside a scan) and tell us nothing
+        model_level()
+        return
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(key, (B, H, Dh), jnp.bfloat16)
     k_a = jax.random.normal(key, (B, K, H, Dh), jnp.bfloat16)
@@ -122,7 +133,9 @@ def model_level():
                                     jnp.ones((1, 8), jnp.int32)))
     steps = 128
 
-    for layout in ('khd', 'hkd', 'dk'):
+    layouts = tuple(os.environ.get('EMODIS_LAYOUT_SET',
+                                   'khd,hkd,dk').split(','))
+    for layout in layouts:
         def run(tok0, layout=layout):
             cache = model.apply(params, B, K, layout,
                                 method=PlainTransformer.init_decode_cache)

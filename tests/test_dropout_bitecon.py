@@ -1,5 +1,5 @@
-"""Opt-in uint8 dropout (EMODIS_DROPOUT_BITECON): default bitwise-identical
-to nn.Dropout, flag path mean-preserving at the quantized rate."""
+"""uint8 dropout (EMODIS_DROPOUT_BITECON, default ON since round 5):
+mean-preserving at the quantized rate; '=0' restores nn.Dropout bitwise."""
 
 import jax
 import jax.numpy as jnp
@@ -15,13 +15,24 @@ def _run(mod, x, rng, det=False):
     return mod.apply({}, x, deterministic=det, rngs={'dropout': rng})
 
 
-def test_default_delegates_to_nn_dropout(monkeypatch):
-    monkeypatch.delenv('EMODIS_DROPOUT_BITECON', raising=False)
+def test_opt_out_delegates_to_nn_dropout(monkeypatch):
+    monkeypatch.setenv('EMODIS_DROPOUT_BITECON', '0')
     x = jax.random.normal(jax.random.PRNGKey(0), (64, 128), jnp.float32)
     rng = jax.random.PRNGKey(7)
     ours = _run(Dropout(0.1), x, rng)
     ref = _run(nn.Dropout(0.1), x, rng)
     np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
+def test_default_is_bitecon(monkeypatch):
+    # round-5 flip: flag unset -> uint8 path (survivors carry the
+    # quantized scale, which plain nn.Dropout's f32 1/keep never equals)
+    monkeypatch.delenv('EMODIS_DROPOUT_BITECON', raising=False)
+    x = jnp.ones((64, 128), jnp.bfloat16)
+    out = np.asarray(_run(Dropout(0.1), x, jax.random.PRNGKey(7)),
+                     dtype=np.float32)
+    expect = float(jnp.asarray(256.0 / (256 - 26), jnp.bfloat16))
+    np.testing.assert_allclose(out[out != 0.0], expect, rtol=0)
 
 
 @pytest.mark.parametrize('rate', [0.1, 0.3])

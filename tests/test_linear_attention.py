@@ -36,16 +36,19 @@ def test_scan_odd_length(rng_key):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
-def test_decode_state_matches_parallel(rng_key):
+@pytest.mark.parametrize('layout', ['md', 'dm'])
+def test_decode_state_matches_parallel(rng_key, layout):
+    # 'dm' (S transposed [.., Dv, M]) is the default since round 5
     phi_q, phi_k, v = _random_features(rng_key, B=1, H=2, L=20, M=8, Dv=4)
     ref = causal_linear_attention_ref(phi_q, phi_k, v)
 
-    S = jnp.zeros((1, 2, 8, 4))
+    S = jnp.zeros((1, 2, 8, 4) if layout == 'md' else (1, 2, 4, 8))
     z = jnp.zeros((1, 2, 8))
     outs = []
     for t in range(20):
         o, S, z = linear_attention_decode_step(
-            phi_q[:, :, t], phi_k[:, :, t], v[:, :, t], S, z)
+            phi_q[:, :, t], phi_k[:, :, t], v[:, :, t], S, z,
+            state_layout=layout)
         outs.append(o)
     got = jnp.stack(outs, axis=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
@@ -236,8 +239,11 @@ def test_fused_decode_layer_matches_composed(rng_key):
     params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
                         omegas, jnp.zeros((1, 8), jnp.int32))
     B = 4
-    sa = model.apply(params, B, method=MusicPerformer.init_decode_state)
-    sb = model.apply(params, B, method=MusicPerformer.init_decode_state)
+    # the fused kernel carries [M, Dh] state: pin 'md' (default is 'dm')
+    sa = model.apply(params, B, 'md',
+                     method=MusicPerformer.init_decode_state)
+    sb = model.apply(params, B, 'md',
+                     method=MusicPerformer.init_decode_state)
     rng = np.random.RandomState(0)
 
     def roll(mdl, x, state, mask, fused):
@@ -245,7 +251,8 @@ def test_fused_decode_layer_matches_composed(rng_key):
         h = x
         for i, layer in enumerate(mdl.layers):
             h, S_all, z_all = layer.decode_step(
-                h, omegas[i], i, S_all, z_all, update_mask=mask, fused=fused)
+                h, omegas[i], i, S_all, z_all, update_mask=mask, fused=fused,
+                state_layout='md')
         return h, {'S': S_all, 'z': z_all}
 
     def step_layer(x, state, mask, fused):
@@ -283,7 +290,7 @@ def test_fused_decode_layer_batch_grid(rng_key, monkeypatch):
     def roll(mdl, x, state, mask):
         h, S_all, z_all = mdl.layers[0].decode_step(
             x, omegas[0], 0, state['S'], state['z'],
-            update_mask=mask, fused=True)
+            update_mask=mask, fused=True, state_layout='md')
         return h, {'S': S_all, 'z': z_all}
 
     def step_layer(x, state, mask):
@@ -292,11 +299,13 @@ def test_fused_decode_layer_batch_grid(rng_key, monkeypatch):
     x = jnp.asarray(rng.randn(B, 1, 32).astype('f4'))
     mask = jnp.asarray(rng.random(B) > 0.3)
 
-    s0 = model.apply(params, B, method=MusicPerformer.init_decode_state)
+    s0 = model.apply(params, B, 'md',
+                     method=MusicPerformer.init_decode_state)
     h_whole, s_whole = step_layer(x, s0, mask)
 
     monkeypatch.setattr(pd, '_batch_group', lambda *a, **k: 2)
-    s1 = model.apply(params, B, method=MusicPerformer.init_decode_state)
+    s1 = model.apply(params, B, 'md',
+                     method=MusicPerformer.init_decode_state)
     h_grid, s_grid = step_layer(x, s1, mask)
 
     np.testing.assert_allclose(np.asarray(h_whole), np.asarray(h_grid),
