@@ -39,25 +39,61 @@ def layout_equations(layout: str):
                      f'expected one of {VALID_LAYOUTS}')
 
 
-def write_row_pe(cache_layer, new_row, t, layout: str):
+def write_row_pe(cache_layer, new_row, t, layout: str,
+                 impl: Optional[str] = None):
     """Per-element-clock cache write: new_row [B,H,Dh] lands at each
     element's own position t[b] in cache_layer (leading dim B), under any
-    layout.  vmapped dynamic_update_slice — the same pattern every
-    batched-generation decode uses."""
-    if layout == 'dk':
-        return jax.vmap(
-            lambda c, kk, tb: jax.lax.dynamic_update_slice(
-                c, kk[..., None], (0, 0, tb)))(cache_layer, new_row, t)
-    if layout == 'hkd':
-        return jax.vmap(
-            lambda c, kk, tb: jax.lax.dynamic_update_slice(
-                c, kk[:, None], (0, tb, 0)))(cache_layer, new_row, t)
-    if layout == 'khd':
+    layout.  ``impl`` picks the lowering (identical results, tested):
+
+    * ``'dus'`` (default) — vmapped ``dynamic_update_slice`` (the pattern
+      every batched-generation decode uses; lowers to a scatter when the
+      start indices are batched).
+    * ``'scatter'`` — explicit batched-index ``.at[arange(B), t].set``.
+    * ``'mask'`` — full-cache select (``where(pos == t_b, row, cache)``);
+      pays whole-cache traffic but no scatter.
+
+    Per-impl perf on the chip: bench_pe_micro.py."""
+    if impl is None:
+        import os
+        impl = os.environ.get('EMODIS_PE_WRITE_IMPL', 'dus')
+    if layout not in VALID_LAYOUTS:
+        raise ValueError(f'unknown cache layout {layout!r}; '
+                         f'expected one of {VALID_LAYOUTS}')
+    if impl == 'dus':
+        if layout == 'dk':
+            return jax.vmap(
+                lambda c, kk, tb: jax.lax.dynamic_update_slice(
+                    c, kk[..., None], (0, 0, tb)))(cache_layer, new_row, t)
+        if layout == 'hkd':
+            return jax.vmap(
+                lambda c, kk, tb: jax.lax.dynamic_update_slice(
+                    c, kk[:, None], (0, tb, 0)))(cache_layer, new_row, t)
         return jax.vmap(
             lambda c, kk, tb: jax.lax.dynamic_update_slice(
                 c, kk[None], (tb, 0, 0)))(cache_layer, new_row, t)
-    raise ValueError(f'unknown cache layout {layout!r}; '
-                     f'expected one of {VALID_LAYOUTS}')
+    if impl == 'scatter':
+        bidx = jnp.arange(cache_layer.shape[0])
+        if layout == 'dk':
+            return cache_layer.at[bidx, :, :, t].set(new_row)
+        if layout == 'hkd':
+            return cache_layer.at[bidx, :, t].set(new_row)
+        return cache_layer.at[bidx, t].set(new_row)
+    if impl == 'mask':
+        K = (cache_layer.shape[-1] if layout == 'dk'
+             else cache_layer.shape[-2] if layout == 'hkd'
+             else cache_layer.shape[1])
+        pos = jnp.arange(K)
+        hit = pos[None, :] == t[:, None]                     # [B, K]
+        row = new_row.astype(cache_layer.dtype)
+        if layout == 'dk':
+            return jnp.where(hit[:, None, None, :], row[..., None],
+                             cache_layer)
+        if layout == 'hkd':
+            return jnp.where(hit[:, None, :, None], row[:, :, None],
+                             cache_layer)
+        return jnp.where(hit[:, :, None, None], row[:, None], cache_layer)
+    raise ValueError(f'unknown write impl {impl!r}; '
+                     "expected 'dus' | 'scatter' | 'mask'")
 
 
 def flash_decode_attention(
@@ -243,6 +279,7 @@ def full_decode_attention_pe(
     scale: float,
     rel: Optional[Tuple[jax.Array, jax.Array]] = None,
     layout: str = 'khd',
+    rel_impl: Optional[str] = None,
 ) -> jax.Array:
     """:func:`full_decode_attention` with a PER-ELEMENT clock.
 
@@ -255,11 +292,24 @@ def full_decode_attention_pe(
     The TXL relative-position term generalizes by computing the query-dot
     for EVERY distance row (``rq_all[b,h,D] = rr_q . r_heads[D]`` — the
     same FLOPs as the shared-clock einsum against the gathered rows) and
-    gathering ``BD[b,h,j] = rq_all[b,h,t_b - j]`` with ``take_along_axis``
-    instead of relying on one shared distance vector.
+    materializing ``BD[b,h,j] = rq_all[b,h,t_b - j]``.  ``rel_impl``
+    picks how (both bitwise-identical in the final output, tested):
+
+    * ``'slice'`` (default) — reverse ``rq_all`` along k, zero-pad, and
+      take each element's length-Kmax window with a vmapped
+      ``dynamic_slice`` (``bd[b,h,j] = rev[b,h,(R-1-t_b)+j]``); positions
+      ``j > t_b`` read the pad, which the causal mask kills.  Contiguous
+      per-element DMA instead of a [B,H,Kmax] element gather.
+    * ``'gather'`` — ``take_along_axis`` at ``clip(t_b - j, 0, R-1)``;
+      one gathered f32 element per (b,h,j).  Kept as the oracle for the
+      equality test (perf per layout/impl: bench_pe_micro.py).
 
     ``layout='dk'`` takes caches ``[B, H, Dh, Kmax]`` and r_heads
     ``[H, Dh, Kmax]`` (see :func:`full_decode_attention`)."""
+    if rel_impl is None:
+        import os
+        rel_impl = os.environ.get('EMODIS_PE_REL_IMPL', 'slice')
+    assert rel_impl in ('slice', 'gather'), rel_impl
     if layout == 'dk':
         B, H, Dh, Kmax = k_cache.shape
     elif layout == 'hkd':
@@ -279,10 +329,20 @@ def full_decode_attention_pe(
         rq_all = jnp.einsum('bhd,khd->bhk' if layout == 'khd' else 'bhd,hdk->bhk',
                             rr_q.astype(r_heads.dtype), r_heads,
                             preferred_element_type=jnp.float32)
-        dist = jnp.clip(t[:, None] - jnp.arange(Kmax)[None, :], 0,
-                        r_rows - 1).astype(jnp.int32)
-        bd = jnp.take_along_axis(
-            rq_all, jnp.broadcast_to(dist[:, None, :], (B, H, Kmax)), axis=-1)
+        if rel_impl == 'slice':
+            # bd[b,h,j] = rq_all[b,h,t_b-j] = rev[b,h,(R-1-t_b)+j]; for
+            # j > t_b the window reads the zero pad (masked out below).
+            # t_b <= Kmax-1 <= R-1 keeps every start in range.
+            rev = jnp.pad(rq_all[..., ::-1], ((0, 0), (0, 0), (0, Kmax - 1)))
+            start = (r_rows - 1 - t).astype(jnp.int32)
+            bd = jax.vmap(lambda r, st: jax.lax.dynamic_slice(
+                r, (0, st), (H, Kmax)))(rev, start)
+        else:
+            dist = jnp.clip(t[:, None] - jnp.arange(Kmax)[None, :], 0,
+                            r_rows - 1).astype(jnp.int32)
+            bd = jnp.take_along_axis(
+                rq_all, jnp.broadcast_to(dist[:, None, :], (B, H, Kmax)),
+                axis=-1)
         s = s + bd
     s = s * scale
     s = jnp.where(jnp.arange(Kmax)[None, None, :] > t[:, None, None],

@@ -300,3 +300,54 @@ def test_single_song_generator_streams_match_across_layouts():
     song_dk, stats_dk = results['dk']
     assert song_khd == song_dk
     assert stats_khd['status'] == stats_dk['status']
+
+
+# ---------------------------------------------------------------------------
+# per-element-clock op lowerings (serve()'s decode step): the rel-BD term
+# and the cache write each have interchangeable implementations whose
+# results must agree exactly (the A/B lives in bench_pe_micro.py)
+
+def test_pe_rel_impls_bitwise_equal():
+    """full_decode_attention_pe: 'slice' (reverse + per-element
+    dynamic_slice window) vs 'gather' (take_along_axis) — identical
+    output bits for ragged clocks incl. the t=0 and t=Kmax-1 edges."""
+    from emo_disentanger_tpu.ops.attention import full_decode_attention_pe
+    rng = np.random.default_rng(11)
+    B, H, Dh, K = 5, 2, 16, 32
+    t = jnp.asarray([0, 1, 7, K - 2, K - 1], jnp.int32)
+    for layout, kshape, rshape in (
+            ('khd', (B, K, H, Dh), (K, H, Dh)),
+            ('dk', (B, H, Dh, K), (H, Dh, K)),
+            ('hkd', (B, H, K, Dh), (H, Dh, K))):
+        for dtype in (jnp.float32, jnp.bfloat16):
+            q = jnp.asarray(rng.standard_normal((B, H, Dh)), dtype)
+            kc = jnp.asarray(rng.standard_normal(kshape), dtype)
+            vc = jnp.asarray(rng.standard_normal(kshape), dtype)
+            rh = jnp.asarray(rng.standard_normal(rshape), dtype)
+            # jit: the CPU backend's eager dot rejects bf16 x bf16 -> f32
+            run = jax.jit(lambda impl: full_decode_attention_pe(
+                q, kc, vc, t, scale=0.25, rel=(q, rh),
+                layout=layout, rel_impl=impl), static_argnums=0)
+            outs = [run(impl) for impl in ('slice', 'gather')]
+            assert outs[0].dtype == outs[1].dtype
+            np.testing.assert_array_equal(np.asarray(outs[0]),
+                                          np.asarray(outs[1]))
+
+
+def test_pe_write_impls_equal():
+    """write_row_pe: 'dus' / 'scatter' / 'mask' land the identical row at
+    each element's own t under every layout."""
+    from emo_disentanger_tpu.ops.attention import write_row_pe
+    rng = np.random.default_rng(12)
+    B, H, Dh, K = 4, 2, 8, 16
+    t = jnp.asarray([0, 3, K - 2, K - 1], jnp.int32)
+    row = jnp.asarray(rng.standard_normal((B, H, Dh)), jnp.bfloat16)
+    for layout, kshape in (('khd', (B, K, H, Dh)), ('dk', (B, H, Dh, K)),
+                           ('hkd', (B, H, K, Dh))):
+        cache = jnp.asarray(rng.standard_normal(kshape), jnp.bfloat16)
+        outs = [write_row_pe(cache, row, t, layout, impl=impl)
+                for impl in ('dus', 'scatter', 'mask')]
+        np.testing.assert_array_equal(np.asarray(outs[0]),
+                                      np.asarray(outs[1]))
+        np.testing.assert_array_equal(np.asarray(outs[0]),
+                                      np.asarray(outs[2]))
