@@ -97,8 +97,13 @@ class Stage2BatchGenerator:
             # fit before the mid-bar guard (which only fires in SAMPLE mode)
             assert gpt2_cache_len - 2 >= gpt2_window + max_bar_tokens, \
                 'gpt2_cache_len must cover gpt2_window + max_bar_tokens'
-            assert max_events + 8 >= gpt2_window, \
-                'output buffer shorter than the re-anchor window'
+            # max_events below gpt2_window is fine: re-anchor re-feeds
+            # the last min(window, out buffer) tokens (see reanchor_all) —
+            # a song shorter than the window is its own trailing window.
+            # Rejected samples advance the cache clock without advancing
+            # the out buffer, so the trigger stays reachable either way.
+            # (A former assert here broke the 1500-event serving config
+            # against the default 2048 window — caught by the r5 matrix.)
         self.model = model
         self.params = params
         self.vocab = vocab
@@ -201,7 +206,10 @@ class Stage2BatchGenerator:
             """One batched parallel forward over each flagged element's
             trailing window; rebuilds cache/clock/logits for flagged rows
             only (mirrors ``Stage2Generator._do_reanchor``)."""
-            W = self.gpt2_window
+            # can't re-feed more rows than the output buffer holds: a song
+            # shorter than the window is its own trailing window (keep_len
+            # caps at out_len either way, so the semantics are unchanged)
+            W = min(self.gpt2_window, s['out'].shape[1])
             start = jnp.maximum(s['out_len'] - W, 0)
             slice_w = jax.vmap(
                 lambda buf, st: jax.lax.dynamic_slice(buf, (st,), (W,)))

@@ -87,6 +87,38 @@ def test_batched_stage2_gpt2():
     assert streams == streams2
 
 
+def test_gpt2_buffer_shorter_than_window():
+    """A serving config with max_events below gpt2_window is legal: the
+    re-anchor re-feeds min(window, out buffer) rows — a song shorter than
+    the window is its own trailing window.  Rejected samples advance the
+    CACHE clock without advancing the out buffer, so the trigger is
+    reachable (and fires here under random weights).  Regression for the
+    r5 bench-matrix failure (former construction-time assert)."""
+    from emo_disentanger_tpu.models import MusicGPT2
+    vocab = tiny_vocab2()
+    model = MusicGPT2(n_token=vocab.size, n_layer=2, n_head=2, d_model=32,
+                      d_ff=64, d_embed=32, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32),
+                        jnp.zeros((1, 8), jnp.int32))
+    bar = [vocab.event2idx[e] for e in
+           ['Bar_None', 'Beat_0', 'Chord_I_M', 'Note_Octave_5',
+            'Note_Degree_I', 'Note_Duration_480']]
+    primer = [vocab.event2idx['Emotion_Q1'], vocab.event2idx['Key_C'],
+              vocab.event2idx['Tempo_110']]
+    gen = Stage2BatchGenerator(model, params, vocab, batch=2, temp=1.2,
+                               top_p=0.97, max_events=60, max_bar_tokens=32,
+                               max_bars=4, gpt2_cache_len=256,
+                               gpt2_window=128)   # buffer 68 < window 128
+    streams, stats = gen.generate([primer, primer],
+                                  [[list(bar)] * 2, [list(bar)] * 2], seed=3)
+    for stream in streams:
+        assert 'PAD_None' not in vocab.decode(stream)
+    streams2, stats2 = gen.generate([primer, primer],
+                                    [[list(bar)] * 2, [list(bar)] * 2],
+                                    seed=3)
+    assert streams == streams2 and stats['reanchors'] == stats2['reanchors']
+
+
 def test_batched_gpt2_reanchor_matches_host_path(monkeypatch):
     """Generating past the GPT-2 cache must window-re-anchor INSIDE the
     batched device loop and reproduce the host-orchestrated Stage2Generator
