@@ -13,10 +13,30 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ..core.theory import MAJOR_KEY, MINOR_KEY, KEY_TO_IDX
+from ..core.theory import MAJOR_KEY, MINOR_KEY, KEY_TO_IDX, degree2pitch
 
 MAJOR_SCALE = [0, 2, 4, 5, 7, 9, 11]
 MINOR_SCALE = [0, 2, 3, 5, 7, 8, 10]
+
+
+def _abs_pitches(events: List[str], key: str) -> List[int]:
+    """Absolute MIDI pitches from either note representation: absolute
+    ``Note_Pitch_<n>`` events, or the functional ``Note_Octave_<o>`` +
+    ``Note_Degree_<roman>`` pairs (stage-2 / lead-sheet layouts), which
+    reconstruct through :func:`~..core.theory.degree2pitch` in the
+    stream's key."""
+    pitches = [int(e.split('_')[-1]) for e in events
+               if e.startswith('Note_Pitch')]
+    octave = None
+    for ev in events:
+        if ev.startswith('Note_Octave'):
+            octave = int(ev.split('_')[-1])
+        elif ev.startswith('Note_Degree') and octave is not None:
+            try:
+                pitches.append(degree2pitch(key, octave, ev.split('_')[-1]))
+            except KeyError:      # malformed roman from a random stream
+                pass
+    return pitches
 
 
 def _split_bars(events: List[str]) -> List[List[str]]:
@@ -43,14 +63,15 @@ def find_key(events: List[str]) -> Optional[str]:
 
 
 def scale_consistency(events: List[str], key: Optional[str] = None) -> float:
-    """Fraction of Note_Pitch events on the key's diatonic scale."""
+    """Fraction of notes on the key's diatonic scale (either note
+    representation, see :func:`_abs_pitches`)."""
     key = key or find_key(events) or 'C'
     if key in MAJOR_KEY:
         tonic, scale = KEY_TO_IDX[key], MAJOR_SCALE
     else:
         tonic, scale = KEY_TO_IDX[key.upper()], MINOR_SCALE
     degrees = {(tonic + s) % 12 for s in scale}
-    pitches = [int(e.split('_')[-1]) for e in events if e.startswith('Note_Pitch')]
+    pitches = _abs_pitches(events, key)
     if not pitches:
         return 0.0
     return float(np.mean([(p % 12) in degrees for p in pitches]))
@@ -79,8 +100,8 @@ def mean_tempo(events: List[str]) -> float:
     return float(np.mean(vals)) if vals else 0.0
 
 
-def pitch_range(events: List[str]) -> int:
-    pitches = [int(e.split('_')[-1]) for e in events if e.startswith('Note_Pitch')]
+def pitch_range(events: List[str], key: Optional[str] = None) -> int:
+    pitches = _abs_pitches(events, key or find_key(events) or 'C')
     return int(max(pitches) - min(pitches)) if pitches else 0
 
 

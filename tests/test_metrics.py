@@ -45,3 +45,26 @@ def test_emotion_profile_keys():
     assert prof['n_bars'] == 2.0
     assert set(prof) >= {'scale_consistency', 'note_density', 'mean_velocity',
                          'mean_tempo', 'pitch_range', 'groove_consistency'}
+
+
+def test_scale_consistency_functional_rep():
+    """The stage-2 functional layout carries Note_Octave/Note_Degree pairs
+    instead of Note_Pitch; metrics must reconstruct pitches through
+    core.theory.degree2pitch (regression: EVAL_r05 initially reported 0.0
+    scale_consistency / pitch_range for every quadrant)."""
+    stream = ['Key_C', 'Bar_None', 'Beat_0',
+              'Note_Octave_5', 'Note_Degree_I', 'Note_Duration_480',
+              'Note_Octave_5', 'Note_Degree_III', 'Note_Duration_480',
+              'Note_Octave_5', 'Note_Degree_IV#', 'Note_Duration_480',
+              'Note_Octave_6', 'Note_Degree_V', 'Note_Duration_480']
+    # I, III, V diatonic in C major; IV# is not -> 3/4
+    assert abs(M.scale_consistency(stream) - 0.75) < 1e-9
+    # pitches: 60, 64, 66, 79 -> range 19
+    assert M.pitch_range(stream) == 19
+    # minor key: in a-minor (tonic 9), I=57@oct4... III (semitone 3) is
+    # diatonic in minor, VII (semitone 11, the raised resolution) is not
+    # in the natural-minor scale set
+    stream_m = ['Key_a', 'Bar_None', 'Beat_0',
+                'Note_Octave_4', 'Note_Degree_I', 'Note_Duration_480',
+                'Note_Octave_4', 'Note_Degree_III', 'Note_Duration_480']
+    assert abs(M.scale_consistency(stream_m) - 1.0) < 1e-9
